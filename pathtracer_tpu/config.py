@@ -1,0 +1,47 @@
+"""Render configuration.
+
+TPU-native equivalent of the reference's pflag/viper config
+(reference: cmd/configuration.go:5-32, cmd/pt/main.go:48-56).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration.
+
+    Mirrors the reference CLI flags --width --height --samples --aperture
+    --focal-length (cmd/pt/main.go:48-56) plus TPU-specific knobs.
+    """
+
+    width: int = 640
+    height: int = 480
+    samples: int = 1
+    aperture: float = 0.0
+    focal_length: float = 0.0
+
+    # -- TPU-specific --------------------------------------------------
+    # f32 is TPU-native; f64 is available for CPU golden tests.
+    dtype: str = "float32"
+    # Reference uses EPSILON=1e-4 in float64 (tracer.cl:4). The same value
+    # works in f32 at the reference's ~unit scene scale.
+    epsilon: float = 1e-4
+    # Bounce budget (tracer.cl:2-3).
+    max_bounces: int = 10
+    max_effective_bounces: int = 4
+    # Intersections beyond this distance are ignored (tracer.cl:728).
+    t_max: float = 1024.0
+    # Rays per device launch = tile_rows * width * sample chunk; the sample
+    # loop runs in chunks of this many samples at a time.
+    samples_per_pass: int = 8
+    # Rows rendered per kernel call (memory chunking; the reference used 4
+    # rows per launch to dodge GPU watchdogs, ocltracer.go:215-223 -- on TPU
+    # we chunk for memory instead).
+    rows_per_pass: int = 0  # 0 = whole image in one pass
+    # RNG seed for the threefry counter-based generator.
+    seed: int = 0
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
