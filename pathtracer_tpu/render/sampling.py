@@ -1,0 +1,114 @@
+"""Sampling and reflection/refraction math.
+
+Behavioral equivalents of internal/ocl/tracer.cl helpers:
+- sunflower aperture points (tracer.cl:221-248)
+- randomVectorInHemisphere (tracer.cl:348-366)
+- randomPointOnSphere (tracer.cl:321-336)
+- schlick (tracer.cl:485-505)
+- computeRefractedRay (tracer.cl:507-533)
+
+RNG: the reference's noise3D sin-fract hash (tracer.cl:314-317) is replaced
+by counter-based threefry keys (deterministic, reproducible, device-local;
+SURVEY.md section 2.3 RNG distribution row).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from .math3 import cross3, dot3, normalize3
+
+_GOLDEN = (jnp.sqrt(5.0) + 1.0) / 2.0
+
+
+def sunflower(amount_points: int, alpha: float, point_number: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evenly distribute points in a unit disc (tracer.cl:235-248).
+    point_number may be a float array; randomize=false path only (the
+    reference always calls it with randomize=false, tracer.cl:766)."""
+    n = jnp.asarray(float(amount_points), dtype=point_number.dtype)
+    b = jnp.round(alpha * jnp.sqrt(n))  # boundary point count
+    r = jnp.where(
+        point_number <= (n - b),
+        jnp.sqrt(jnp.maximum(point_number - 0.5, 0.0))
+        / jnp.sqrt(n - (b + 1.0) / 2.0),
+        1.0,
+    )
+    phi2 = _GOLDEN * _GOLDEN
+    theta = 2.0 * jnp.pi * point_number / phi2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def random_vector_in_hemisphere(normal: jnp.ndarray, u1: jnp.ndarray,
+                                u2: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-ish-weighted hemisphere direction about `normal`
+    (tracer.cl:348-366). normal: [R,3], u1/u2: [R] uniforms."""
+    rand1 = 2.0 * jnp.pi * u1
+    rand2s = jnp.sqrt(u2)
+
+    axis = jnp.where(
+        (jnp.abs(normal[..., 0]) > 0.1)[..., None],
+        jnp.array([0.0, 1.0, 0.0], dtype=normal.dtype),
+        jnp.array([1.0, 0.0, 0.0], dtype=normal.dtype),
+    )
+    u = normalize3(cross3(axis, normal))
+    v = cross3(normal, u)
+    return (
+        u * (jnp.cos(rand1) * rand2s)[..., None]
+        + v * (jnp.sin(rand1) * rand2s)[..., None]
+        + normal * jnp.sqrt(1.0 - u2)[..., None]
+    )
+
+
+def random_point_on_sphere(r: float, u1: jnp.ndarray, u2: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Reference's randomPointOnSphere (tracer.cl:321-336), kept verbatim
+    including its idiosyncratic latitude offset (used only by NEE)."""
+    lat = jnp.arccos(2.0 * u1 - 1.0) - jnp.pi * 2.0
+    lon = 2.0 * jnp.pi * u2
+    return jnp.stack(
+        [
+            jnp.cos(lat) * jnp.cos(lon) * r,
+            (jnp.sin(lat) - jnp.pi * 0.25) * r,
+            jnp.cos(lat) * jnp.sin(lon) * r,
+        ],
+        axis=-1,
+    )
+
+
+def schlick(eye_vec: jnp.ndarray, normal_vec: jnp.ndarray,
+            n1, n2) -> jnp.ndarray:
+    """Schlick reflectance approximation (tracer.cl:485-505).
+    eye_vec/normal_vec: [R,3]; n1/n2 scalars or [R]."""
+    n1 = jnp.asarray(n1, dtype=eye_vec.dtype)
+    n2 = jnp.asarray(n2, dtype=eye_vec.dtype)
+    cos = dot3(eye_vec, normal_vec)
+
+    n = n1 / n2
+    sin2t = (n * n) * (1.0 - cos * cos)
+    tir = (n1 > n2) & (sin2t > 1.0)
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2t, 0.0, None))
+    cos_eff = jnp.where(n1 > n2, cos_t, cos)
+
+    temp = (n1 - n2) / (n1 + n2)
+    r0 = temp * temp
+    res = r0 + (1.0 - r0) * (1.0 - cos_eff) ** 5
+    return jnp.where(tir, 1.0, res)
+
+
+def refracted_direction(eye_vec: jnp.ndarray, normal_vec: jnp.ndarray,
+                        n1, n2) -> jnp.ndarray:
+    """Refracted ray direction (tracer.cl:507-533); zero vector on total
+    internal reflection (which the callers' schlick-roulette already makes
+    unreachable, since TIR implies schlick()==1)."""
+    n1 = jnp.asarray(n1, dtype=eye_vec.dtype)
+    n2 = jnp.asarray(n2, dtype=eye_vec.dtype)
+    cos_i = dot3(eye_vec, normal_vec)
+    ratio = jnp.broadcast_to(n1 / n2, cos_i.shape)
+    sin2t = (ratio * ratio) * (1.0 - cos_i * cos_i)
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2t, 0.0, None))
+    direction = (
+        normal_vec * (ratio * cos_i - cos_t)[..., None] - eye_vec * ratio[..., None]
+    )
+    return jnp.where((sin2t > 1.0)[..., None], 0.0, direction)

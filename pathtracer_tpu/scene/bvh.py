@@ -1,0 +1,270 @@
+"""BVH construction.
+
+Two layers:
+
+1. Reference-parity group-based ``divide`` (internal/app/shapes/bvh.go:9-119):
+   recursive median split of the longest axis into left/right/remain
+   subgroups. Kept for API/test parity and for scenes that call it.
+
+2. The TPU-native flat builder ``build_bvh``: builds a binary BVH directly
+   over triangle arrays and emits it in depth-first order with *skip links*
+   (escape indices), so device traversal is a stackless while-loop:
+
+       idx = root
+       while idx < end:
+           hit = slab_test(node[idx])
+           if hit and node is leaf: test its LEAF_SIZE triangle slots
+           idx = hit ? idx + 1 : exit[idx]
+
+   This replaces the reference's explicit per-ray int stack[64] walk
+   (internal/ocl/tracer.cl:624-718) with a single integer of traversal
+   state per ray — the right shape for a vectorized SIMD machine.
+
+   Every leaf owns exactly LEAF_SIZE contiguous triangle slots (padded with
+   degenerate all-zero triangles that can never pass the Möller–Trumbore
+   determinant test), so the device inner loop is fully static-shaped.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .bounds import BoundingBox, bounds_of, parent_space_bounds
+from .shapes import Group, Shape, Triangle
+
+# ---------------------------------------------------------------------------
+# Reference-parity group-based Divide (bvh.go)
+# ---------------------------------------------------------------------------
+
+def split_bounds(b: BoundingBox) -> Tuple[BoundingBox, BoundingBox]:
+    """Split a box perpendicular to its longest axis (bvh.go:9 SplitBounds)."""
+    d = b.max[:3] - b.min[:3]
+    axis = int(np.argmax(d))
+    mid = b.min[axis] + d[axis] / 2.0
+
+    left_max = b.max.copy()
+    left_max[axis] = mid
+    right_min = b.min.copy()
+    right_min[axis] = mid
+    return BoundingBox(b.min, left_max), BoundingBox(right_min, b.max)
+
+
+def partition_children(g: Group) -> Tuple[Group, Group]:
+    """Partition children into left/right/remain (bvh.go:51)."""
+    left, right = Group(), Group()
+    lb, rb = split_bounds(bounds_of(g))
+
+    remain: List[Shape] = []
+    for c in g.children:
+        cb = parent_space_bounds(c)
+        if lb.contains_box(cb):
+            left.add_child(c)
+        elif rb.contains_box(cb):
+            right.add_child(c)
+        else:
+            remain.append(c)
+    g.children = remain
+    g.bounds()
+    left.bounds()
+    right.bounds()
+    return left, right
+
+
+def make_sub_group(g: Group, shapes: List[Shape]) -> None:
+    """Wrap shapes in a new subgroup of g (bvh.go:81 MakeSubGroup)."""
+    sub = Group()
+    sub.material = g.material
+    for s in shapes:
+        sub.add_child(s)
+    g.add_child(sub)
+
+
+def divide(s: Shape, threshold: int) -> None:
+    """Recursive top-down BVH divide (bvh.go:92-119)."""
+    if not isinstance(s, Group):
+        return
+    if threshold <= len(s.children):
+        left, right = partition_children(s)
+        if left.children:
+            make_sub_group(s, left.children)
+        if right.children:
+            make_sub_group(s, right.children)
+    for c in s.children:
+        divide(c, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Flat skip-link BVH over triangles (device layout)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FlatBVH:
+    """One global flat node/triangle pool shared by all group objects
+    (the TPU equivalent of the reference's global CLGroup/CLTriangle
+    arrays, internal/ocl/scene.go:8-12)."""
+    node_bb_min: np.ndarray   # [Nn, 3] f64
+    node_bb_max: np.ndarray   # [Nn, 3]
+    node_tri_start: np.ndarray  # [Nn] i32 (leaf slot offset; 0 for internal)
+    node_is_leaf: np.ndarray    # [Nn] i32 (1 leaf, 0 internal)
+    node_exit: np.ndarray       # [Nn] i32 skip link
+    # triangle slots, LEAF_SIZE-aligned, degenerate-padded
+    tri_p1: np.ndarray        # [Nt, 3]
+    tri_e1: np.ndarray
+    tri_e2: np.ndarray
+    tri_n1: np.ndarray
+    tri_n2: np.ndarray
+    tri_n3: np.ndarray
+    tri_color: np.ndarray     # [Nt, 3]
+    leaf_size: int
+
+    @property
+    def n_nodes(self) -> int:
+        return self.node_bb_min.shape[0]
+
+    @property
+    def n_tri_slots(self) -> int:
+        return self.tri_p1.shape[0]
+
+
+class _Node:
+    __slots__ = ("bb_min", "bb_max", "left", "right", "tri_ids")
+
+    def __init__(self):
+        self.bb_min = None
+        self.bb_max = None
+        self.left: Optional[_Node] = None
+        self.right: Optional[_Node] = None
+        self.tri_ids: Optional[np.ndarray] = None
+
+
+def _build_tree(bb_min, bb_max, centroids, ids, leaf_size) -> _Node:
+    node = _Node()
+    node.bb_min = bb_min[ids].min(axis=0)
+    node.bb_max = bb_max[ids].max(axis=0)
+    if len(ids) <= leaf_size:
+        node.tri_ids = ids
+        return node
+
+    c = centroids[ids]
+    ext = c.max(axis=0) - c.min(axis=0)
+    axis = int(np.argmax(ext))
+    if ext[axis] <= 0.0:
+        # all centroids identical: arbitrary even split
+        half = len(ids) // 2
+        order = np.arange(len(ids))
+    else:
+        order = np.argsort(c[:, axis], kind="stable")
+        half = len(ids) // 2
+    node.left = _build_tree(bb_min, bb_max, centroids, ids[order[:half]], leaf_size)
+    node.right = _build_tree(bb_min, bb_max, centroids, ids[order[half:]], leaf_size)
+    return node
+
+
+def build_bvh(
+    triangles: List[Triangle],
+    leaf_size: int = 8,
+    into: Optional[FlatBVH] = None,
+) -> Tuple[FlatBVH, int, int]:
+    """Build a skip-link BVH over ``triangles``, appending to the global
+    pool ``into`` if given. Returns (pool, root_index, end_index)."""
+    p1 = np.stack([t.p1[:3] for t in triangles])
+    p2 = np.stack([t.p2[:3] for t in triangles])
+    p3 = np.stack([t.p3[:3] for t in triangles])
+    bb_min = np.minimum(np.minimum(p1, p2), p3)
+    bb_max = np.maximum(np.maximum(p1, p2), p3)
+    centroids = (p1 + p2 + p3) / 3.0
+
+    root = _build_tree(bb_min, bb_max, centroids, np.arange(len(triangles)), leaf_size)
+
+    # DFS emit with skip links; leaf triangle slots padded to leaf_size.
+    rec_bb_min: List[np.ndarray] = []
+    rec_bb_max: List[np.ndarray] = []
+    rec_start: List[int] = []
+    rec_leaf: List[int] = []
+    rec_exit: List[int] = []
+    slot_tris: List[Optional[Triangle]] = []
+
+    node_base = into.n_nodes if into is not None else 0
+    slot_base = into.n_tri_slots if into is not None else 0
+
+    # Inflate node boxes slightly: axis-flat geometry (e.g. a wall of
+    # coplanar triangles) yields zero-extent boxes that fail the strict
+    # tmin < tmax slab test — a documented flaw in the reference
+    # (tracer.cl:605-606 "BB must have extent in all 3-axises"); padding
+    # the boxes at build time fixes it with no traversal cost.
+    pad = 1e-4
+
+    def emit(n: _Node) -> None:
+        my = len(rec_bb_min)
+        rec_bb_min.append(n.bb_min - pad)
+        rec_bb_max.append(n.bb_max + pad)
+        rec_exit.append(0)  # fixed after the subtree is emitted
+        if n.tri_ids is not None:
+            rec_leaf.append(1)
+            rec_start.append(slot_base + len(slot_tris))
+            for tid in n.tri_ids:
+                slot_tris.append(triangles[int(tid)])
+            # degenerate padding
+            slot_tris.extend([None] * (leaf_size - len(n.tri_ids)))
+        else:
+            rec_leaf.append(0)
+            rec_start.append(0)
+            emit(n.left)
+            emit(n.right)
+        # skip link: first node after this node's entire subtree
+        rec_exit[my] = node_base + len(rec_bb_min)
+
+    emit(root)
+
+    def tri_field(getter, default):
+        out = np.zeros((len(slot_tris), 3), dtype=np.float64)
+        for i, t in enumerate(slot_tris):
+            if t is not None:
+                out[i] = getter(t)[:3]
+            else:
+                out[i] = default
+        return out
+
+    new = FlatBVH(
+        node_bb_min=np.stack(rec_bb_min),
+        node_bb_max=np.stack(rec_bb_max),
+        node_tri_start=np.asarray(rec_start, dtype=np.int32),
+        node_is_leaf=np.asarray(rec_leaf, dtype=np.int32),
+        node_exit=np.asarray(rec_exit, dtype=np.int32),
+        tri_p1=tri_field(lambda t: t.p1, 0.0),
+        tri_e1=tri_field(lambda t: t.e1, 0.0),
+        tri_e2=tri_field(lambda t: t.e2, 0.0),
+        tri_n1=tri_field(lambda t: t.n1, 0.0),
+        tri_n2=tri_field(lambda t: t.n2, 0.0),
+        tri_n3=tri_field(lambda t: t.n3, 0.0),
+        tri_color=tri_field(lambda t: np.asarray(t.material.color), 0.0),
+        leaf_size=leaf_size,
+    )
+
+    if into is None:
+        return new, node_base, node_base + new.n_nodes
+
+    merged = FlatBVH(
+        node_bb_min=np.concatenate([into.node_bb_min, new.node_bb_min]),
+        node_bb_max=np.concatenate([into.node_bb_max, new.node_bb_max]),
+        node_tri_start=np.concatenate([into.node_tri_start, new.node_tri_start]),
+        node_is_leaf=np.concatenate([into.node_is_leaf, new.node_is_leaf]),
+        node_exit=np.concatenate([into.node_exit, new.node_exit]),
+        tri_p1=np.concatenate([into.tri_p1, new.tri_p1]),
+        tri_e1=np.concatenate([into.tri_e1, new.tri_e1]),
+        tri_e2=np.concatenate([into.tri_e2, new.tri_e2]),
+        tri_n1=np.concatenate([into.tri_n1, new.tri_n1]),
+        tri_n2=np.concatenate([into.tri_n2, new.tri_n2]),
+        tri_n3=np.concatenate([into.tri_n3, new.tri_n3]),
+        tri_color=np.concatenate([into.tri_color, new.tri_color]),
+        leaf_size=leaf_size,
+    )
+    return merged, node_base, node_base + new.n_nodes
+
+
+def empty_bvh(leaf_size: int = 8) -> FlatBVH:
+    z3 = np.zeros((0, 3), dtype=np.float64)
+    zi = np.zeros((0,), dtype=np.int32)
+    return FlatBVH(z3, z3, zi, zi, zi, z3, z3, z3, z3, z3, z3, z3, leaf_size)

@@ -1,0 +1,253 @@
+"""Flatten the host scene graph into a static struct-of-arrays device scene.
+
+TPU-native equivalent of the reference's host->device marshaling
+(internal/ocl/scene.go BuildSceneBufferCL/BuildCLGroup and the fixed-layout
+CLObject/CLTriangle/CLGroup structs, internal/ocl/ocltracer.go:25-96).
+Instead of 1024-byte packed structs we emit padded struct-of-arrays jnp
+buffers with fully static shapes, replicated on every chip.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .bvh import FlatBVH, build_bvh, empty_bvh
+from .shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE, Cylinder, Group, Shape, Triangle
+
+NONE_TYPE = -1
+
+
+class SceneArrays(NamedTuple):
+    """Device-side scene. All arrays have static (padded) shapes.
+
+    Objects (reference CLObject fields, ocltracer.go:25-51):
+    """
+    obj_type: jnp.ndarray          # [No] i32: 0 plane,1 sphere,2 cyl,3 box,4 group,-1 pad
+    inverse: jnp.ndarray           # [No,4,4]
+    inverse_transpose: jnp.ndarray # [No,4,4]
+    transform: jnp.ndarray         # [No,4,4]
+    color: jnp.ndarray             # [No,3]
+    emission: jnp.ndarray          # [No,3]
+    refractive_index: jnp.ndarray  # [No]
+    reflectivity: jnp.ndarray      # [No]
+    min_y: jnp.ndarray             # [No]
+    max_y: jnp.ndarray             # [No]
+    bb_min: jnp.ndarray            # [No,3] (group-local bounds)
+    bb_max: jnp.ndarray            # [No,3]
+    bvh_root: jnp.ndarray          # [No] i32 (-1 if not a group)
+    bvh_end: jnp.ndarray           # [No] i32
+    is_textured: jnp.ndarray       # [No] i32
+    texture_index: jnp.ndarray     # [No] i32
+    texture_scale: jnp.ndarray     # [No,2]
+    is_textured_nm: jnp.ndarray    # [No] i32
+    texture_index_nm: jnp.ndarray  # [No] i32
+    texture_scale_nm: jnp.ndarray  # [No,2]
+
+    # BVH node pool (reference CLGroup, ocltracer.go:53-64 -> skip links)
+    node_bb_min: jnp.ndarray       # [Nn,3]
+    node_bb_max: jnp.ndarray       # [Nn,3]
+    node_tri_start: jnp.ndarray    # [Nn] i32
+    node_is_leaf: jnp.ndarray      # [Nn] i32
+    node_exit: jnp.ndarray         # [Nn] i32
+
+    # Triangle pool (reference CLTriangle, ocltracer.go:66-77)
+    tri_p1: jnp.ndarray            # [Nt,3]
+    tri_e1: jnp.ndarray
+    tri_e2: jnp.ndarray
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_n3: jnp.ndarray
+    tri_color: jnp.ndarray         # [Nt,3]
+
+    # Texture atlases (reference image2d_array_t x3, ocltracer.go:228-254)
+    tex_planar: jnp.ndarray        # [n,H,W,3]
+    tex_sphere: jnp.ndarray        # [n,H,W,3]
+    tex_cube: jnp.ndarray          # [n,H,W,3]
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static (hashable) scene structure; closed over at jit-trace time."""
+    n_objects: int                 # real objects (<= padded size)
+    max_objects: int
+    group_indices: Tuple[int, ...] # which object slots are BVH groups
+    # static (obj_slot, bvh_root, bvh_end) per group; jit closes over these
+    group_bvh: Tuple[Tuple[int, int, int], ...]
+    n_nodes: int
+    n_tri_slots: int
+    leaf_size: int
+
+    @property
+    def has_groups(self) -> bool:
+        return len(self.group_indices) > 0
+
+
+@dataclasses.dataclass
+class Scene:
+    """Host scene container (reference: internal/app/scenes/scene.go:16-28)."""
+    camera: "object"
+    objects: List[Shape]
+    textures: List[np.ndarray] = dataclasses.field(default_factory=list)
+    sphere_textures: List[np.ndarray] = dataclasses.field(default_factory=list)
+    cube_textures: List[np.ndarray] = dataclasses.field(default_factory=list)
+
+
+def _pack_texture_atlas(images: Sequence[np.ndarray], dtype) -> np.ndarray:
+    """Stack images into [n, H, W, 3], padding to the max H/W by edge-repeat
+    resize (the reference requires same-size layers in image2d_array_t)."""
+    if not images:
+        return np.ones((1, 1, 1, 3), dtype=dtype)
+    h = max(im.shape[0] for im in images)
+    w = max(im.shape[1] for im in images)
+    out = np.zeros((len(images), h, w, 3), dtype=dtype)
+    for i, im in enumerate(images):
+        if im.shape[0] != h or im.shape[1] != w:
+            # nearest-neighbor resize to the common size
+            yi = (np.arange(h) * im.shape[0] // h).clip(0, im.shape[0] - 1)
+            xi = (np.arange(w) * im.shape[1] // w).clip(0, im.shape[1] - 1)
+            im = im[yi][:, xi]
+        out[i] = im[..., :3]
+    return out
+
+
+def pack_scene(
+    objects: Sequence[Shape],
+    leaf_size: int = 8,
+    max_objects: Optional[int] = None,
+    dtype=jnp.float32,
+    textures: Sequence[np.ndarray] = (),
+    sphere_textures: Sequence[np.ndarray] = (),
+    cube_textures: Sequence[np.ndarray] = (),
+) -> Tuple[SceneArrays, SceneMeta]:
+    n = len(objects)
+    no = max_objects or max(16, n)
+    assert n <= no, f"{n} objects > padded capacity {no}"
+
+    np_dtype = np.float64  # build in f64, cast at the end
+
+    obj_type = np.full(no, NONE_TYPE, dtype=np.int32)
+    inverse = np.tile(np.eye(4), (no, 1, 1))
+    inverse_t = np.tile(np.eye(4), (no, 1, 1))
+    transform = np.tile(np.eye(4), (no, 1, 1))
+    color = np.zeros((no, 3), dtype=np_dtype)
+    emission = np.zeros((no, 3), dtype=np_dtype)
+    refr_idx = np.ones(no, dtype=np_dtype)
+    refl = np.zeros(no, dtype=np_dtype)
+    min_y = np.zeros(no, dtype=np_dtype)
+    max_y = np.zeros(no, dtype=np_dtype)
+    bb_min = np.zeros((no, 3), dtype=np_dtype)
+    bb_max = np.zeros((no, 3), dtype=np_dtype)
+    bvh_root = np.full(no, -1, dtype=np.int32)
+    bvh_end = np.full(no, -1, dtype=np.int32)
+    is_tex = np.zeros(no, dtype=np.int32)
+    tex_idx = np.zeros(no, dtype=np.int32)
+    tex_scale = np.ones((no, 2), dtype=np_dtype)
+    is_tex_nm = np.zeros(no, dtype=np.int32)
+    tex_idx_nm = np.zeros(no, dtype=np.int32)
+    tex_scale_nm = np.ones((no, 2), dtype=np_dtype)
+
+    pool: FlatBVH = empty_bvh(leaf_size)
+    group_indices: List[int] = []
+    group_bvh: List[Tuple[int, int, int]] = []
+
+    for i, s in enumerate(objects):
+        m = s.material
+        obj_type[i] = s.type_code
+        inverse[i] = s.inverse
+        inverse_t[i] = s.inverse_transpose
+        transform[i] = s.transform
+        color[i] = np.asarray(m.color)[:3]
+        emission[i] = np.asarray(m.emission)[:3]
+        refr_idx[i] = m.refractive_index
+        refl[i] = m.reflectivity
+        if m.textured:
+            is_tex[i] = 1
+            tex_idx[i] = m.texture_id
+            tex_scale[i] = (m.texture_scale_x, m.texture_scale_y)
+        if m.textured_nm:
+            is_tex_nm[i] = 1
+            tex_idx_nm[i] = m.texture_id_nm
+            tex_scale_nm[i] = (m.texture_scale_x_nm, m.texture_scale_y_nm)
+
+        if isinstance(s, Cylinder):
+            min_y[i] = s.min_y
+            max_y[i] = s.max_y
+        elif isinstance(s, Group):
+            tris = s.all_triangles()
+            if not tris:
+                # group with no triangles contributes nothing (matches the
+                # reference: childCount==0 groups are skipped, tracer.cl:617)
+                obj_type[i] = NONE_TYPE
+                continue
+            s.bounds()
+            bb_min[i] = s.bounding_box.min[:3]
+            bb_max[i] = s.bounding_box.max[:3]
+            pool, root, end = build_bvh(tris, leaf_size=leaf_size, into=pool)
+            bvh_root[i] = root
+            bvh_end[i] = end
+            group_indices.append(i)
+            group_bvh.append((i, root, end))
+
+    # pad pools to at least one element so gathers are well-defined
+    if pool.n_nodes == 0:
+        pool, _, _ = build_bvh(
+            [Triangle(np.zeros(4), np.zeros(4), np.zeros(4))], leaf_size=leaf_size,
+            into=pool,
+        )
+        dummy = True
+    else:
+        dummy = False
+
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+
+    arrays = SceneArrays(
+        obj_type=i32(obj_type),
+        inverse=f(inverse),
+        inverse_transpose=f(inverse_t),
+        transform=f(transform),
+        color=f(color),
+        emission=f(emission),
+        refractive_index=f(refr_idx),
+        reflectivity=f(refl),
+        min_y=f(min_y),
+        max_y=f(max_y),
+        bb_min=f(bb_min),
+        bb_max=f(bb_max),
+        bvh_root=i32(bvh_root),
+        bvh_end=i32(bvh_end),
+        is_textured=i32(is_tex),
+        texture_index=i32(tex_idx),
+        texture_scale=f(tex_scale),
+        is_textured_nm=i32(is_tex_nm),
+        texture_index_nm=i32(tex_idx_nm),
+        texture_scale_nm=f(tex_scale_nm),
+        node_bb_min=f(pool.node_bb_min),
+        node_bb_max=f(pool.node_bb_max),
+        node_tri_start=i32(pool.node_tri_start),
+        node_is_leaf=i32(pool.node_is_leaf),
+        node_exit=i32(pool.node_exit),
+        tri_p1=f(pool.tri_p1),
+        tri_e1=f(pool.tri_e1),
+        tri_e2=f(pool.tri_e2),
+        tri_n1=f(pool.tri_n1),
+        tri_n2=f(pool.tri_n2),
+        tri_n3=f(pool.tri_n3),
+        tri_color=f(pool.tri_color),
+        tex_planar=f(_pack_texture_atlas(textures, np.float32)),
+        tex_sphere=f(_pack_texture_atlas(sphere_textures, np.float32)),
+        tex_cube=f(_pack_texture_atlas(cube_textures, np.float32)),
+    )
+    meta = SceneMeta(
+        n_objects=n,
+        max_objects=no,
+        group_indices=tuple(group_indices),
+        group_bvh=tuple(group_bvh),
+        n_nodes=int(pool.n_nodes) if not dummy else 0,
+        n_tri_slots=int(pool.n_tri_slots),
+        leaf_size=leaf_size,
+    )
+    return arrays, meta

@@ -1,0 +1,135 @@
+"""BVH construction tests: reference-parity divide (shapes/bvh_test.go) and
+the flat skip-link builder."""
+import numpy as np
+
+import pathtracer_tpu.geometry as g
+from pathtracer_tpu.scene.bounds import BoundingBox, bounds_of
+from pathtracer_tpu.scene.bvh import (
+    build_bvh, divide, partition_children, split_bounds,
+)
+from pathtracer_tpu.scene.shapes import Group, Sphere, Triangle
+
+
+def test_split_perfect_cube():
+    b = BoundingBox.of_floats(-1, -4, -5, 9, 6, 5)  # dx=10 largest
+    left, right = split_bounds(b)
+    assert np.allclose(left.min[:3], [-1, -4, -5])
+    assert np.allclose(left.max[:3], [4, 6, 5])
+    assert np.allclose(right.min[:3], [4, -4, -5])
+    assert np.allclose(right.max[:3], [9, 6, 5])
+
+
+def test_split_y_wide():
+    b = BoundingBox.of_floats(-1, -2, -3, 3, 7, 3)  # dy=9 largest
+    left, right = split_bounds(b)
+    assert np.allclose(left.max[:3], [3, 2.5, 3])
+    assert np.allclose(right.min[:3], [-1, 2.5, -3])
+
+
+def test_split_z_wide():
+    b = BoundingBox.of_floats(-1, -2, -3, 3, 3, 7)  # dz=10 largest
+    left, right = split_bounds(b)
+    assert np.allclose(left.max[:3], [3, 3, 2])
+    assert np.allclose(right.min[:3], [-1, -2, 2])
+
+
+def test_partition_children():
+    # bvh_test.go: three spheres; two fit halves, one straddles and remains
+    s1 = Sphere()
+    s1.set_transform(g.translate(-2, 0, 0))
+    s2 = Sphere()
+    s2.set_transform(g.translate(2, 0, 0))
+    s3 = Sphere()
+    gr = Group()
+    gr.add_children(s1, s2, s3)
+    left, right = partition_children(gr)
+    assert gr.children == [s3]
+    assert left.children == [s1]
+    assert right.children == [s2]
+
+
+def test_divide_below_threshold_recurses_only():
+    s1 = Sphere()
+    s1.set_transform(g.translate(-2, 0, 0))
+    s2 = Sphere()
+    s2.set_transform(g.translate(2, 0, 0))
+    gr = Group()
+    gr.add_children(s1, s2)
+    divide(gr, 3)  # threshold > len: no partition at top
+    assert gr.children == [s1, s2]
+
+
+def test_divide_partitions():
+    s1 = Sphere()
+    s1.set_transform(g.translate(-2, -2, 0))
+    s2 = Sphere()
+    s2.set_transform(g.translate(-2, 2, 0))
+    s3 = Sphere()
+    s3.set_transform(g.scale(4, 4, 4))
+    gr = Group()
+    gr.add_children(s1, s2, s3)
+    divide(gr, 1)
+    # straddling sphere remains; the others move into subgroups
+    assert s3 in gr.children
+    subgroups = [c for c in gr.children if isinstance(c, Group)]
+    assert len(subgroups) >= 1
+    collected = []
+    def walk(grp):
+        for c in grp.children:
+            if isinstance(c, Group):
+                walk(c)
+            else:
+                collected.append(c)
+    walk(gr)
+    assert set(id(x) for x in collected) == set(id(x) for x in [s1, s2, s3])
+
+
+def _random_tris(n, seed=0):
+    rng = np.random.default_rng(seed)
+    tris = []
+    for _ in range(n):
+        p1 = rng.uniform(-10, 10, 3)
+        tris.append(Triangle(
+            np.append(p1, 1.0),
+            np.append(p1 + rng.uniform(-1, 1, 3), 1.0),
+            np.append(p1 + rng.uniform(-1, 1, 3), 1.0),
+        ))
+    return tris
+
+
+def test_build_bvh_structure():
+    tris = _random_tris(100)
+    bvh, root, end = build_bvh(tris, leaf_size=8)
+    assert root == 0 and end == bvh.n_nodes
+    # skip links: every exit is > own index and <= end
+    for i in range(bvh.n_nodes):
+        assert bvh.node_exit[i] > i
+        assert bvh.node_exit[i] <= end
+    # leaves hold every real triangle exactly once
+    n_real = 0
+    for i in range(bvh.n_nodes):
+        if bvh.node_is_leaf[i]:
+            s = bvh.node_tri_start[i]
+            chunk = bvh.tri_p1[s:s + 8]
+            n_real += int(np.sum(np.any(chunk != 0, axis=1)))
+    assert n_real == 100
+    # parent boxes contain children
+    def check(i):
+        if bvh.node_is_leaf[i]:
+            return i + 1
+        j = i + 1
+        while j < bvh.node_exit[i]:
+            assert np.all(bvh.node_bb_min[i] <= bvh.node_bb_min[j] + 1e-9)
+            assert np.all(bvh.node_bb_max[i] >= bvh.node_bb_max[j] - 1e-9)
+            j = check(j)
+        return j
+    check(0)
+
+
+def test_build_bvh_appends_to_pool():
+    t1 = _random_tris(20, seed=1)
+    t2 = _random_tris(30, seed=2)
+    pool, r1, e1 = build_bvh(t1, leaf_size=8)
+    pool, r2, e2 = build_bvh(t2, leaf_size=8, into=pool)
+    assert r2 == e1
+    assert e2 == pool.n_nodes
