@@ -1,0 +1,143 @@
+"""Differentiable render + distributed training step.
+
+The north-star dimension the reference lacks entirely (BASELINE.json):
+gradients of the rendered image w.r.t. continuous material parameters.
+
+What is differentiable:
+- object colors, emission, per-triangle colors, texture atlases — these
+  enter the estimator only through the linear mask/accum chain
+  (tracer.cl:1148-1175), so reverse-mode AD through the bounce fori_loop
+  gives exact pathwise gradients
+- the roulette DECISIONS (reflect/refract choices, tracer.cl:982-1061) and
+  intersection geometry are discrete; they are detached (their comparisons
+  produce booleans, which carry no tangents), i.e. detached-sampling
+  pathwise gradients for continuous params only (SURVEY.md section 7.5)
+
+Distribution: gradients are psum-reduced over both mesh axes inside the
+sharded step, overlapping with the backward pass under XLA.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..render.camera import CameraArrays
+from ..render.integrator import render_pass
+from ..render.vec3 import Vec3
+from ..scene.pack import SceneArrays, SceneMeta
+
+
+class SceneParams(NamedTuple):
+    """The trainable subset of SceneArrays."""
+    color: jnp.ndarray       # [No,3]
+    emission: jnp.ndarray    # [No,3]
+    tri_color: jnp.ndarray   # [Nt,3]
+    tex_planar: jnp.ndarray  # [3,n,H,W]
+    tex_sphere: jnp.ndarray
+    tex_cube: jnp.ndarray
+
+
+def extract_params(scn: SceneArrays) -> SceneParams:
+    return SceneParams(
+        color=scn.color,
+        emission=scn.emission,
+        tri_color=scn.tri_color,
+        tex_planar=scn.tex_planar,
+        tex_sphere=scn.tex_sphere,
+        tex_cube=scn.tex_cube,
+    )
+
+
+def apply_params(scn: SceneArrays, p: SceneParams) -> SceneArrays:
+    return scn._replace(
+        color=p.color,
+        emission=p.emission,
+        tri_color=p.tri_color,
+        tex_planar=p.tex_planar,
+        tex_sphere=p.tex_sphere,
+        tex_cube=p.tex_cube,
+    )
+
+
+def render_image_diff(
+    params: SceneParams,
+    scn: SceneArrays,
+    meta: SceneMeta,
+    cfg: RenderConfig,
+    cam: CameraArrays,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    key: jax.Array,
+    n_samples: int,
+) -> Vec3:
+    """Differentiable estimate of P pixels at n_samples spp -> Vec3 [P]."""
+    scn = apply_params(scn, params)
+    acc = render_pass(scn, meta, cfg, cam, px, py,
+                      jnp.int32(0), n_samples, key)
+    return acc * (1.0 / float(n_samples))
+
+
+def image_loss(params, scn, meta, cfg, cam, px, py, key, n_samples,
+               target: Vec3) -> jnp.ndarray:
+    img = render_image_diff(params, scn, meta, cfg, cam, px, py, key,
+                            n_samples)
+    d = img - target
+    return jnp.mean(d.x * d.x + d.y * d.y + d.z * d.z) / 3.0
+
+
+def train_step(params, scn, meta, cfg, cam, px, py, key, n_samples,
+               target: Vec3, lr=0.05):
+    """Single-device SGD step; returns (new_params, loss)."""
+    loss, grads = jax.value_and_grad(image_loss)(
+        params, scn, meta, cfg, cam, px, py, key, n_samples, target
+    )
+    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    return new_params, loss
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    meta: SceneMeta,
+    cfg: RenderConfig,
+    n_samples: int,
+    lr: float = 0.05,
+):
+    """Build the jit-able distributed training step.
+
+    Sharding layout: params + scene + camera replicated, pixels sharded over
+    the 'pixels' axis, samples split over the 'spp' axis. Per-device pathwise
+    gradients are psum-reduced over BOTH axes — the psum is emitted inside
+    the step so XLA overlaps it with the backward pass over ICI.
+    """
+
+    def step(params, scn, cam, px, py, target, key):
+        pix_rank = jax.lax.axis_index("pixels")
+        spp_rank = jax.lax.axis_index("spp")
+        k = jax.random.fold_in(jax.random.fold_in(key, pix_rank), spp_rank)
+
+        def local_loss(p):
+            return image_loss(p, scn, meta, cfg, cam, px, py, k, n_samples,
+                              target)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.pmean(jax.lax.pmean(loss, "pixels"), "spp")
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(jax.lax.pmean(g, "pixels"), "spp"), grads
+        )
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    return jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("pixels"), P("pixels"),
+                      P("pixels"), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # see render_dist.py: bounce-loop carry VMA
+        )
+    )

@@ -5,7 +5,7 @@ inverses are computed once at scene-build time and shipped to the device,
 like the reference which stores Inverse/InverseTranspose per shape,
 reference: internal/app/shapes/basic.go:21, sphere.go:60-64).
 
-The device-side batched vector math lives in pathtracer_tpu.render.math3.
+The device-side SoA vector math lives in pathtracer_tpu.render.vec3.
 """
 from .tuple4 import (
     point,

@@ -1,0 +1,120 @@
+"""Sharded rendering: pixels x spp over the device mesh.
+
+Replaces the reference's single-device NDRange dispatch
+(ocltracer.go:197-223) with shard_map over a Mesh: each device renders its
+interleaved pixel shard for its slice of the sample budget, sample partials
+are psum-reduced over the 'spp' axis, and XLA's output sharding assembles
+the image.
+
+Pixels are sharded INTERLEAVED (stride = #shards) rather than in blocks:
+divergent path lengths cluster spatially (mesh pixels trace deeper), and
+striding decorrelates the load across devices (SURVEY.md section 7
+'Hard parts').
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..render.camera import Camera
+from ..render.integrator import render_pass
+from ..render.vec3 import Vec3
+from ..scene.pack import SceneArrays, SceneMeta
+
+
+def _shard_body(scn, cam, px, py, key, meta: SceneMeta, cfg: RenderConfig,
+                n_chunks: int, spp_axis_size: int):
+    """Per-device body: render this device's pixel shard for its slice of
+    the sample chunks, then psum over the 'spp' axis."""
+    S = cfg.samples_per_pass
+    spp_rank = jax.lax.axis_index("spp")
+    # decorrelate random streams across pixel shards: without this, the
+    # ray at local slot r draws identical uniforms on every shard, which
+    # correlates the noise of neighboring (strided) pixels
+    key = jax.random.fold_in(key, jax.lax.axis_index("pixels"))
+
+    def chunk(c, acc):
+        # global chunk id: this device's slice of the chunk sequence
+        gc = c * spp_axis_size + spp_rank
+        k = jax.random.fold_in(key, gc)
+        s0 = (gc * S).astype(jnp.int32)
+        return acc + render_pass(scn, meta, cfg, cam, px, py, s0, S, k)
+
+    local_chunks = n_chunks // spp_axis_size
+    acc = jax.lax.fori_loop(
+        0, local_chunks, chunk,
+        Vec3.zeros((px.shape[0],), cam.inverse.dtype),
+    )
+    return jax.lax.psum(acc, axis_name="spp")
+
+
+def render_sharded(
+    scn: SceneArrays,
+    meta: SceneMeta,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    key: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Full-image render over the mesh. Returns [H, W, 3] float32."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    W, H = camera.width, camera.height
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    cam = camera.pack(dtype)
+
+    n_pix_shards = mesh.shape["pixels"]
+    spp_axis = mesh.shape["spp"]
+
+    spp_chunk = min(cfg.samples_per_pass, max(1, cfg.samples // spp_axis))
+    cfg = cfg.replace(samples_per_pass=spp_chunk)
+    n_chunks = max(1, cfg.samples // spp_chunk)
+    # make the chunk count divisible over the spp axis
+    n_chunks = ((n_chunks + spp_axis - 1) // spp_axis) * spp_axis
+    total_samples = n_chunks * spp_chunk
+
+    # interleaved pixel sharding: pixel i -> shard i % n_shards
+    P_total = W * H
+    pad = (-P_total) % (n_pix_shards * 8)
+    ids = np.arange(P_total + pad)
+    xs = ids % W
+    ys = np.minimum(ids // W, H - 1)
+    # stride-interleave: reorder so equal slices are strided sets
+    perm = ids.reshape(-1, n_pix_shards).T.reshape(-1)
+
+    shard = NamedSharding(mesh, P("pixels"))
+    px = jax.device_put(jnp.asarray(xs[perm], jnp.int32), shard)
+    py = jax.device_put(jnp.asarray(ys[perm], jnp.int32), shard)
+
+    body = functools.partial(
+        _shard_body, meta=meta, cfg=cfg, n_chunks=n_chunks,
+        spp_axis_size=spp_axis,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P("pixels"), P("pixels"), P()),
+            out_specs=P("pixels"),
+            # the bounce-loop carries start as unvarying constants and
+            # become device-varying after the first bounce; the static VMA
+            # check rejects that, so it is disabled (collectives here are
+            # just the final spp-psum)
+            check_vma=False,
+        )
+    )
+    acc = fn(scn, cam, px, py, key)
+
+    flat = np.stack(
+        [np.asarray(acc.x), np.asarray(acc.y), np.asarray(acc.z)], axis=-1
+    ).astype(np.float32) / float(total_samples)
+    # undo interleave, drop padding
+    out = np.empty((P_total + pad, 3), dtype=np.float32)
+    out[perm] = flat
+    return out[:P_total].reshape(H, W, 3)

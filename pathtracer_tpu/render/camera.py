@@ -14,8 +14,8 @@ import numpy as np
 
 from ..geometry import transforms as gx
 from ..geometry import matrix as gm
-from .math3 import transform_point
 from .sampling import sunflower
+from .vec3 import Vec3, mat_apply_point
 
 
 class Camera:
@@ -74,9 +74,9 @@ def rays_for_pixels(
     jitter_y: jnp.ndarray,   # [R]
     sample_idx: jnp.ndarray, # [R] int sample number n
     total_samples: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched rayForPixel (tracer.cl:745-779). Returns (origin, direction),
-    each [R, 3]. Matches the reference exactly, including:
+) -> Tuple[Vec3, Vec3]:
+    """Batched rayForPixel (tracer.cl:745-779). Returns (origin, direction)
+    as SoA Vec3 of [R]. Matches the reference exactly, including:
     - view-plane point at z=-1 through the camera inverse
     - NO normalization of the DoF direction (tracer.cl:774)
     - the reference's swapped sunflower x/y aperture offsets (tracer.cl:768-769)
@@ -85,33 +85,28 @@ def rays_for_pixels(
     x_off = cam.pixel_size * (px.astype(dt) + jitter_x)
     y_off = cam.pixel_size * (py.astype(dt) + jitter_y)
 
-    point_in_view = jnp.stack(
-        [cam.half_width - x_off, cam.half_height - y_off, -jnp.ones_like(x_off)],
-        axis=-1,
+    point_in_view = Vec3(
+        cam.half_width - x_off,
+        cam.half_height - y_off,
+        -jnp.ones_like(x_off),
     )
-    pixel = transform_point(cam.inverse, point_in_view)          # [R,3]
-    origin = transform_point(cam.inverse, jnp.zeros(3, dtype=dt))  # [3]
-    origin = jnp.broadcast_to(origin, pixel.shape)
+    pixel = mat_apply_point(cam.inverse, point_in_view)
+    zero = jnp.zeros_like(x_off)
+    origin = mat_apply_point(cam.inverse, Vec3(zero, zero, zero))
+    direction = (pixel - origin).normalized()
 
-    sub = pixel - origin
-    direction = sub / jnp.sqrt(jnp.sum(sub * sub, axis=-1, keepdims=True))
+    # DoF branch (both branches are cheap; select elementwise)
+    focal_point = origin + direction * cam.focal_length
+    sx, sy = sunflower(total_samples, 2.0, sample_idx.astype(dt))
+    dof_origin = Vec3(
+        origin.x + sy * cam.aperture,  # note: sy -> x (reference swap)
+        origin.y + sx * cam.aperture,
+        origin.z,
+    )
+    dof_dir = focal_point - dof_origin
 
-    def with_dof():
-        focal_point = origin + direction * cam.focal_length
-        sx, sy = sunflower(total_samples, 2.0, sample_idx.astype(dt))
-        new_origin = jnp.stack(
-            [
-                origin[..., 0] + sy * cam.aperture,  # note: sy -> x (reference swap)
-                origin[..., 1] + sx * cam.aperture,
-                origin[..., 2],
-            ],
-            axis=-1,
-        )
-        return new_origin, focal_point - new_origin
-
-    # aperture is a traced scalar; both branches are cheap, select elementwise
-    dof_origin, dof_dir = with_dof()
     use_dof = cam.aperture != 0.0
-    origin = jnp.where(use_dof, dof_origin, origin)
-    direction = jnp.where(use_dof, dof_dir, direction)
-    return origin, direction
+    return (
+        Vec3.where(use_dof, dof_origin, origin),
+        Vec3.where(use_dof, dof_dir, direction),
+    )

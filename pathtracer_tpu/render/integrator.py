@@ -1,4 +1,4 @@
-"""Wavefront path-tracing integrator.
+"""Wavefront path-tracing integrator (SoA Vec3 layout, see vec3.py).
 
 Behavioral equivalent of the reference megakernel's sample/bounce/resolve
 loops (internal/ocl/tracer.cl:867-1187), restructured for TPU:
@@ -28,7 +28,7 @@ Semantics preserved exactly (all cited):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,129 +38,132 @@ from ..config import RenderConfig
 from ..scene.pack import SceneArrays, SceneMeta
 from ..scene.shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE
 from .camera import Camera, CameraArrays, rays_for_pixels
-from .intersect import intersect_scene
-from .math3 import dot3, normalize3, reflect3, transform_point, transform_vector
+from .intersect import Hit, intersect_scene
 from .sampling import random_vector_in_hemisphere, refracted_direction, schlick
 from .uv import cube_uv, sample_texture, spherical_map
+from .vec3 import Vec3, mat_gather_apply_vector
 
 
 class PathState(NamedTuple):
-    origin: jnp.ndarray    # [R,3]
-    direction: jnp.ndarray # [R,3]
-    mask: jnp.ndarray      # [R,3]
-    accum: jnp.ndarray     # [R,3]
+    origin: Vec3
+    direction: Vec3
+    mask: Vec3
+    accum: Vec3
     alive: jnp.ndarray     # [R] bool
     inside: jnp.ndarray    # [R] bool
     n_hits: jnp.ndarray    # [R] i32 recorded bounces
     eff: jnp.ndarray       # [R] i32 effective bounces
 
 
-def _surface_normal(scn: SceneArrays, obj_type, local_point, tri_normal,
-                    is_tri, obj_idx, min_y, max_y, eps):
+def _gather_vec(table: jnp.ndarray, idx: jnp.ndarray) -> Vec3:
+    """Column gathers from a small [N, 3] table -> Vec3 of [R]."""
+    return Vec3(table[idx, 0], table[idx, 1], table[idx, 2])
+
+
+def _surface_normal(scn: SceneArrays, obj_type, lp: Vec3, tri_normal: Vec3,
+                    is_tri, obj_idx, min_y, max_y, eps) -> Vec3:
     """Object-space normal by primitive type (tracer.cl:903-950)."""
-    lp = local_point
-    zero = jnp.zeros_like(lp[..., 0])
+    zero = jnp.zeros_like(lp.x)
     one = jnp.ones_like(zero)
 
     # PLANE: +Y, or normal-map texture (tracer.cl:906-914)
-    n_plane = jnp.stack([zero, one, zero], axis=-1)
-    has_nm = scn.is_textured_nm[obj_idx] == 1
-    # normal-map lookup at (|x|*sx, |z|*sy) from the planar atlas
-    nm_scale = scn.texture_scale_nm[obj_idx]
+    n_plane = Vec3(zero, one, zero)
+    has_nm = (scn.is_textured_nm[obj_idx] == 1) & (obj_type == PLANE)
+    nm_sx = scn.texture_scale_nm[obj_idx, 0]
+    nm_sy = scn.texture_scale_nm[obj_idx, 1]
     nm_rgb = sample_texture(
-        scn.tex_planar,
-        scn.texture_index_nm[obj_idx],
-        jnp.abs(lp[..., 0]) * nm_scale[..., 0],
-        jnp.abs(lp[..., 2]) * nm_scale[..., 1],
-    )
-    n_plane = jnp.where(
-        (has_nm & (obj_type == PLANE))[..., None],
-        normalize3(nm_rgb), n_plane,
-    )
+        scn.tex_planar, scn.texture_index_nm[obj_idx],
+        jnp.abs(lp.x) * nm_sx, jnp.abs(lp.z) * nm_sy,
+    ).normalized()
+    n_plane = Vec3.where(has_nm, nm_rgb, n_plane)
 
-    # SPHERE: local point minus origin (tracer.cl:915-920)
-    n_sphere = lp
+    # SPHERE: local point minus origin (tracer.cl:915-920) -> lp itself
 
     # CYLINDER incl. cap normals (tracer.cl:921-932)
-    dist = lp[..., 0] ** 2 + lp[..., 2] ** 2
-    top = (dist < 1.0) & (lp[..., 1] >= max_y - eps)
-    bottom = (dist < 1.0) & (lp[..., 1] <= min_y + eps)
-    n_cyl_side = jnp.stack([lp[..., 0], zero, lp[..., 2]], axis=-1)
-    n_cyl = jnp.where(
-        top[..., None], jnp.stack([zero, one, zero], axis=-1),
-        jnp.where(bottom[..., None], jnp.stack([zero, -one, zero], axis=-1),
-                  n_cyl_side),
+    dist = lp.x * lp.x + lp.z * lp.z
+    top = (dist < 1.0) & (lp.y >= max_y - eps)
+    bottom = (dist < 1.0) & (lp.y <= min_y + eps)
+    n_cyl = Vec3.where(
+        top, Vec3(zero, one, zero),
+        Vec3.where(bottom, Vec3(zero, -one, zero), Vec3(lp.x, zero, lp.z)),
     )
 
     # CUBE: dominant axis (tracer.cl:933-946)
-    a = jnp.abs(lp)
-    maxc = jnp.maximum(jnp.maximum(a[..., 0], a[..., 1]), a[..., 2])
-    sel_x = maxc == a[..., 0]
-    sel_y = (~sel_x) & (maxc == a[..., 1])
-    n_box = jnp.where(
-        sel_x[..., None], jnp.stack([lp[..., 0], zero, zero], axis=-1),
-        jnp.where(sel_y[..., None], jnp.stack([zero, lp[..., 1], zero], axis=-1),
-                  jnp.stack([zero, zero, lp[..., 2]], axis=-1)),
+    a = lp.abs()
+    maxc = a.max_component()
+    sel_x = maxc == a.x
+    sel_y = (~sel_x) & (maxc == a.y)
+    n_box = Vec3.where(
+        sel_x, Vec3(lp.x, zero, zero),
+        Vec3.where(sel_y, Vec3(zero, lp.y, zero), Vec3(zero, zero, lp.z)),
     )
 
-    n = jnp.where((obj_type == PLANE)[..., None], n_plane,
-        jnp.where((obj_type == SPHERE)[..., None], n_sphere,
-        jnp.where((obj_type == CYLINDER)[..., None], n_cyl,
-        jnp.where((obj_type == BOX)[..., None], n_box, tri_normal))))
-    return jnp.where(is_tri[..., None], tri_normal, n)
+    n = Vec3.where(obj_type == PLANE, n_plane,
+        Vec3.where(obj_type == SPHERE, lp,
+        Vec3.where(obj_type == CYLINDER, n_cyl,
+        Vec3.where(obj_type == BOX, n_box, tri_normal))))
+    return Vec3.where(is_tri, tri_normal, n)
 
 
-def _surface_color(scn: SceneArrays, obj_type, obj_idx, local_point,
-                   tri_color, is_tri):
+def _surface_color(scn: SceneArrays, obj_type, obj_idx, lp: Vec3,
+                   tri_color: Vec3, is_tri) -> Vec3:
     """Surface color incl. texture lookups (tracer.cl:1075-1093)."""
-    base = scn.color[obj_idx]
+    base = _gather_vec(scn.color, obj_idx)
     textured = scn.is_textured[obj_idx] == 1
     tex_idx = scn.texture_index[obj_idx]
-    ts = scn.texture_scale[obj_idx]
+    sx = scn.texture_scale[obj_idx, 0]
+    sy = scn.texture_scale[obj_idx, 1]
 
-    lp = local_point
-    c_plane = sample_texture(
-        scn.tex_planar, tex_idx, lp[..., 0] * ts[..., 0], lp[..., 2] * ts[..., 1]
-    )
-    uv_s = spherical_map(lp)
-    c_sphere = sample_texture(
-        scn.tex_sphere, tex_idx, uv_s[..., 0], 1.0 - uv_s[..., 1]
-    )
-    uv_c = cube_uv(lp)
-    c_cube = sample_texture(scn.tex_cube, tex_idx, uv_c[..., 0], uv_c[..., 1])
+    c_plane = sample_texture(scn.tex_planar, tex_idx, lp.x * sx, lp.z * sy)
+    us, vs = spherical_map(lp)
+    c_sphere = sample_texture(scn.tex_sphere, tex_idx, us, 1.0 - vs)
+    uc, vc = cube_uv(lp)
+    c_cube = sample_texture(scn.tex_cube, tex_idx, uc, vc)
 
-    tex_color = jnp.where((obj_type == PLANE)[..., None], c_plane,
-                jnp.where((obj_type == SPHERE)[..., None], c_sphere,
-                jnp.where((obj_type == BOX)[..., None], c_cube, base)))
-    color = jnp.where(textured[..., None], tex_color, base)
-    return jnp.where(is_tri[..., None], tri_color, color)
+    tex_color = Vec3.where(obj_type == PLANE, c_plane,
+                Vec3.where(obj_type == SPHERE, c_sphere,
+                Vec3.where(obj_type == BOX, c_cube, base)))
+    color = Vec3.where(textured, tex_color, base)
+    return Vec3.where(is_tri, tri_color, color)
 
 
 def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
                 state: PathState, key: jnp.ndarray) -> PathState:
     eps = cfg.epsilon
-    R = state.origin.shape[0]
-    dt = state.origin.dtype
+    R = state.origin.x.shape[0]
+    dt = state.origin.x.dtype
 
-    hit = intersect_scene(scn, meta, state.origin, state.direction, eps, cfg.t_max)
+    hit = intersect_scene(scn, meta, state.origin, state.direction, eps,
+                          cfg.t_max)
     hit_ok = hit.t < cfg.t_max
     oi = hit.obj_idx
 
     obj_type = scn.obj_type[oi]
-    inv = scn.inverse[oi]
-    inv_t = scn.inverse_transpose[oi]
 
-    position = state.origin + state.direction * hit.t[..., None]
+    position = state.origin + state.direction * hit.t
     eye = -state.direction
-    local_point = transform_point(inv, position)
+    # local hit point from the already-transformed per-object ray — no
+    # per-ray matrix gather needed
+    local_point = hit.local_origin + hit.local_dir * hit.t
+
+    # triangle smooth normal n2*u + n3*v + n1*(1-u-v) (tracer.cl:669) and
+    # per-triangle color, gathered once by winning slot
+    slot = jnp.clip(hit.tri_slot, 0, scn.tri_p1.shape[0] - 1)
+    w1 = 1.0 - hit.tri_u - hit.tri_v
+    tri_normal = (
+        _gather_vec(scn.tri_n2, slot) * hit.tri_u
+        + _gather_vec(scn.tri_n3, slot) * hit.tri_v
+        + _gather_vec(scn.tri_n1, slot) * w1
+    )
+    tri_color = _gather_vec(scn.tri_color, slot)
 
     n_local = _surface_normal(
-        scn, obj_type, local_point, hit.tri_normal, hit.is_tri, oi,
+        scn, obj_type, local_point, tri_normal, hit.is_tri, oi,
         scn.min_y[oi], scn.max_y[oi], eps,
     )
-    normal = normalize3(transform_vector(inv_t, n_local))
+    normal = mat_gather_apply_vector(scn.inv_t_affine, oi, n_local).normalized()
     # face-forward (tracer.cl:962-964)
-    normal = jnp.where((dot3(eye, normal) < 0.0)[..., None], -normal, normal)
+    normal = Vec3.where(eye.dot(normal) < 0.0, -normal, normal)
 
     over = position + normal * eps
     under = position - normal * eps
@@ -190,8 +193,8 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
         schlick(eye, normal, refr, jnp.asarray(1.0, dt)),
     )
     do_refract = solid & (sch < u_schl)
-    refract_dir = jnp.where(
-        outside[..., None],
+    refract_dir = Vec3.where(
+        outside,
         refracted_direction(eye, normal, jnp.asarray(1.0, dt), refr),
         refracted_direction(eye, normal, refr, jnp.asarray(1.0, dt)),
     )
@@ -200,38 +203,38 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     diffuse = (~do_reflect) & (~thin) & (~solid)
     hemi = random_vector_in_hemisphere(normal, u1, u2)
 
-    reflect_dir = reflect3(state.direction, normal)
+    reflect_dir = state.direction.reflect(normal)
     any_reflect = do_reflect | thin_reflect | solid_reflect
 
-    new_dir = jnp.where(any_reflect[..., None], reflect_dir,
-              jnp.where(thin_pass[..., None], state.direction,
-              jnp.where(do_refract[..., None], refract_dir, hemi)))
-    cos = jnp.where(diffuse, dot3(hemi, normal), jnp.asarray(1.0, dt))
-    new_origin = jnp.where((thin_pass | do_refract)[..., None], under, over)
+    new_dir = Vec3.where(any_reflect, reflect_dir,
+              Vec3.where(thin_pass, state.direction,
+              Vec3.where(do_refract, refract_dir, hemi)))
+    cos = jnp.where(diffuse, hemi.dot(normal), jnp.asarray(1.0, dt))
+    new_origin = Vec3.where(thin_pass | do_refract, under, over)
 
     entering = do_refract & outside
     exiting = do_refract & state.inside
     new_inside = jnp.where(do_refract, outside, state.inside)
     is_refraction = entering | exiting
 
-    color = _surface_color(scn, obj_type, oi, local_point, hit.tri_color, hit.is_tri)
-    emission = jnp.where(hit.is_tri[..., None],
-                         jnp.zeros(3, dtype=dt), scn.emission[oi])
+    color = _surface_color(scn, obj_type, oi, local_point, tri_color,
+                           hit.is_tri)
+    zero = jnp.zeros_like(color.x)
+    emission = Vec3.where(hit.is_tri, Vec3(zero, zero, zero),
+                          _gather_vec(scn.emission, oi))
 
     # --- fold the resolve pass forward (tracer.cl:1116-1176) ----------
     rec = state.alive & hit_ok
     no_refr = rec & ~is_refraction
-    is_light = emission[..., 0] > 0.0
+    is_light = emission.x > 0.0
 
-    accum = state.accum + jnp.where(
-        no_refr[..., None], state.mask * emission, 0.0
+    accum = state.accum + Vec3.where(
+        no_refr, state.mask * emission, Vec3(zero, zero, zero)
     )
     direct = no_refr & is_light & (state.n_hits == 0)
-    accum = jnp.where(direct[..., None], color, accum)
-    mask = jnp.where(
-        (no_refr & ~is_light)[..., None],
-        state.mask * color * cos[..., None],
-        state.mask,
+    accum = Vec3.where(direct, color, accum)
+    mask = Vec3.where(
+        no_refr & ~is_light, state.mask * color * cos, state.mask
     )
 
     # effective bounces: everything except refraction transits and
@@ -245,8 +248,8 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     )
 
     return PathState(
-        origin=jnp.where(rec[..., None], new_origin, state.origin),
-        direction=jnp.where(rec[..., None], new_dir, state.direction),
+        origin=Vec3.where(rec, new_origin, state.origin),
+        direction=Vec3.where(rec, new_dir, state.direction),
         mask=mask,
         accum=accum,
         alive=alive,
@@ -257,17 +260,16 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
 
 
 def render_rays(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
-                origin: jnp.ndarray, direction: jnp.ndarray,
-                key: jnp.ndarray) -> jnp.ndarray:
+                origin: Vec3, direction: Vec3, key: jnp.ndarray) -> Vec3:
     """Trace a batch of primary rays to completion; returns accumulated
-    radiance [R,3] (one sample each)."""
-    R = origin.shape[0]
-    dt = origin.dtype
+    radiance as Vec3 of [R] (one sample each)."""
+    R = origin.x.shape[0]
+    dt = origin.x.dtype
     state = PathState(
         origin=origin,
         direction=direction,
-        mask=jnp.ones((R, 3), dtype=dt),
-        accum=jnp.zeros((R, 3), dtype=dt),
+        mask=Vec3.full((R,), 1.0, 1.0, 1.0, dt),
+        accum=Vec3.zeros((R,), dt),
         alive=jnp.ones((R,), dtype=bool),
         inside=jnp.zeros((R,), dtype=bool),
         n_hits=jnp.zeros((R,), dtype=jnp.int32),
@@ -284,9 +286,9 @@ def render_rays(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
 def render_pass(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
                 cam: CameraArrays, px: jnp.ndarray, py: jnp.ndarray,
                 sample0: jnp.ndarray, n_samples: int,
-                key: jnp.ndarray) -> jnp.ndarray:
+                key: jnp.ndarray) -> Vec3:
     """Render `n_samples` samples for each of P pixels; returns the SUM of
-    sample radiances [P,3] (caller divides by total spp)."""
+    sample radiances as Vec3 of [P] (caller divides by total spp)."""
     P = px.shape[0]
     S = n_samples
     dt = cam.inverse.dtype
@@ -302,13 +304,15 @@ def render_pass(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     )
     acc = render_rays(scn, meta, cfg, origin, direction,
                       jax.random.fold_in(key, 2))
-    return acc.reshape(P, S, 3).sum(axis=1)
+    return Vec3(
+        acc.x.reshape(P, S).sum(axis=1),
+        acc.y.reshape(P, S).sum(axis=1),
+        acc.z.reshape(P, S).sum(axis=1),
+    )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 5))
-def _render_tile_jit(scn, meta, cfg, cam, pixel_xy, n_chunks, key):
-    px = pixel_xy[:, 0]
-    py = pixel_xy[:, 1]
+@functools.partial(jax.jit, static_argnums=(1, 2, 6))
+def _render_tile_jit(scn, meta, cfg, cam, px, py, n_chunks, key):
     S = cfg.samples_per_pass
 
     def chunk(c, acc):
@@ -316,7 +320,7 @@ def _render_tile_jit(scn, meta, cfg, cam, pixel_xy, n_chunks, key):
         s0 = (c * S).astype(jnp.int32)
         return acc + render_pass(scn, meta, cfg, cam, px, py, s0, S, k)
 
-    init = jnp.zeros((px.shape[0], 3), dtype=cam.inverse.dtype)
+    init = Vec3.zeros((px.shape[0],), cam.inverse.dtype)
     return jax.lax.fori_loop(0, n_chunks, chunk, init)
 
 
@@ -343,11 +347,14 @@ def render(scn: SceneArrays, meta: SceneMeta, camera: Camera,
     for y0 in range(0, H, rows):
         y1 = min(y0 + rows, H)
         ys, xs = np.mgrid[y0:y1, 0:W]
-        pixel_xy = jnp.asarray(
-            np.stack([xs.ravel(), ys.ravel()], axis=-1), dtype=jnp.int32
-        )
-        tile = _render_tile_jit(scn, meta, cfg, cam, pixel_xy, n_chunks,
+        px = jnp.asarray(xs.ravel(), jnp.int32)
+        py = jnp.asarray(ys.ravel(), jnp.int32)
+        tile = _render_tile_jit(scn, meta, cfg, cam, px, py, n_chunks,
                                 jax.random.fold_in(key, y0))
-        out[y0:y1] = np.asarray(tile, dtype=np.float32).reshape(y1 - y0, W, 3)
+        stacked = np.stack(
+            [np.asarray(tile.x), np.asarray(tile.y), np.asarray(tile.z)],
+            axis=-1,
+        ).astype(np.float32)
+        out[y0:y1] = stacked.reshape(y1 - y0, W, 3)
 
     return out / float(cfg.samples)

@@ -1,4 +1,4 @@
-"""Sampling and reflection/refraction math.
+"""Sampling and reflection/refraction math (SoA Vec3 forms).
 
 Behavioral equivalents of internal/ocl/tracer.cl helpers:
 - sunflower aperture points (tracer.cl:221-248)
@@ -17,7 +17,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from .math3 import cross3, dot3, normalize3
+from .vec3 import Vec3
 
 _GOLDEN = (jnp.sqrt(5.0) + 1.0) / 2.0
 
@@ -40,50 +40,48 @@ def sunflower(amount_points: int, alpha: float, point_number: jnp.ndarray
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def random_vector_in_hemisphere(normal: jnp.ndarray, u1: jnp.ndarray,
-                                u2: jnp.ndarray) -> jnp.ndarray:
+def random_vector_in_hemisphere(normal: Vec3, u1: jnp.ndarray,
+                                u2: jnp.ndarray) -> Vec3:
     """Cosine-ish-weighted hemisphere direction about `normal`
-    (tracer.cl:348-366). normal: [R,3], u1/u2: [R] uniforms."""
+    (tracer.cl:348-366)."""
     rand1 = 2.0 * jnp.pi * u1
     rand2s = jnp.sqrt(u2)
 
-    axis = jnp.where(
-        (jnp.abs(normal[..., 0]) > 0.1)[..., None],
-        jnp.array([0.0, 1.0, 0.0], dtype=normal.dtype),
-        jnp.array([1.0, 0.0, 0.0], dtype=normal.dtype),
-    )
-    u = normalize3(cross3(axis, normal))
-    v = cross3(normal, u)
-    return (
-        u * (jnp.cos(rand1) * rand2s)[..., None]
-        + v * (jnp.sin(rand1) * rand2s)[..., None]
-        + normal * jnp.sqrt(1.0 - u2)[..., None]
+    # axis = |n.x| > 0.1 ? (0,1,0) : (1,0,0)  (tracer.cl:355-359)
+    pick = jnp.abs(normal.x) > 0.1
+    zero = jnp.zeros_like(normal.x)
+    one = jnp.ones_like(normal.x)
+    axis = Vec3(jnp.where(pick, zero, one), jnp.where(pick, one, zero), zero)
+    u = axis.cross(normal).normalized()
+    v = normal.cross(u)
+    cu = jnp.cos(rand1) * rand2s
+    cv = jnp.sin(rand1) * rand2s
+    cn = jnp.sqrt(1.0 - u2)
+    return Vec3(
+        u.x * cu + v.x * cv + normal.x * cn,
+        u.y * cu + v.y * cv + normal.y * cn,
+        u.z * cu + v.z * cv + normal.z * cn,
     )
 
 
-def random_point_on_sphere(r: float, u1: jnp.ndarray, u2: jnp.ndarray
-                           ) -> jnp.ndarray:
+def random_point_on_sphere(r: float, u1: jnp.ndarray, u2: jnp.ndarray) -> Vec3:
     """Reference's randomPointOnSphere (tracer.cl:321-336), kept verbatim
     including its idiosyncratic latitude offset (used only by NEE)."""
     lat = jnp.arccos(2.0 * u1 - 1.0) - jnp.pi * 2.0
     lon = 2.0 * jnp.pi * u2
-    return jnp.stack(
-        [
-            jnp.cos(lat) * jnp.cos(lon) * r,
-            (jnp.sin(lat) - jnp.pi * 0.25) * r,
-            jnp.cos(lat) * jnp.sin(lon) * r,
-        ],
-        axis=-1,
+    return Vec3(
+        jnp.cos(lat) * jnp.cos(lon) * r,
+        (jnp.sin(lat) - jnp.pi * 0.25) * r,
+        jnp.cos(lat) * jnp.sin(lon) * r,
     )
 
 
-def schlick(eye_vec: jnp.ndarray, normal_vec: jnp.ndarray,
-            n1, n2) -> jnp.ndarray:
-    """Schlick reflectance approximation (tracer.cl:485-505).
-    eye_vec/normal_vec: [R,3]; n1/n2 scalars or [R]."""
-    n1 = jnp.asarray(n1, dtype=eye_vec.dtype)
-    n2 = jnp.asarray(n2, dtype=eye_vec.dtype)
-    cos = dot3(eye_vec, normal_vec)
+def schlick(eye_vec: Vec3, normal_vec: Vec3, n1, n2) -> jnp.ndarray:
+    """Schlick reflectance approximation (tracer.cl:485-505)."""
+    dt = eye_vec.x.dtype
+    n1 = jnp.asarray(n1, dtype=dt)
+    n2 = jnp.asarray(n2, dtype=dt)
+    cos = eye_vec.dot(normal_vec)
 
     n = n1 / n2
     sin2t = (n * n) * (1.0 - cos * cos)
@@ -97,18 +95,21 @@ def schlick(eye_vec: jnp.ndarray, normal_vec: jnp.ndarray,
     return jnp.where(tir, 1.0, res)
 
 
-def refracted_direction(eye_vec: jnp.ndarray, normal_vec: jnp.ndarray,
-                        n1, n2) -> jnp.ndarray:
+def refracted_direction(eye_vec: Vec3, normal_vec: Vec3, n1, n2) -> Vec3:
     """Refracted ray direction (tracer.cl:507-533); zero vector on total
-    internal reflection (which the callers' schlick-roulette already makes
-    unreachable, since TIR implies schlick()==1)."""
-    n1 = jnp.asarray(n1, dtype=eye_vec.dtype)
-    n2 = jnp.asarray(n2, dtype=eye_vec.dtype)
-    cos_i = dot3(eye_vec, normal_vec)
-    ratio = jnp.broadcast_to(n1 / n2, cos_i.shape)
+    internal reflection (unreachable through the callers' schlick roulette,
+    since TIR implies schlick()==1)."""
+    dt = eye_vec.x.dtype
+    cos_i = eye_vec.dot(normal_vec)
+    ratio = jnp.broadcast_to(
+        jnp.asarray(n1, dt) / jnp.asarray(n2, dt), cos_i.shape
+    )
     sin2t = (ratio * ratio) * (1.0 - cos_i * cos_i)
     cos_t = jnp.sqrt(jnp.clip(1.0 - sin2t, 0.0, None))
-    direction = (
-        normal_vec * (ratio * cos_i - cos_t)[..., None] - eye_vec * ratio[..., None]
+    k = ratio * cos_i - cos_t
+    ok = sin2t <= 1.0
+    return Vec3(
+        jnp.where(ok, normal_vec.x * k - eye_vec.x * ratio, 0.0),
+        jnp.where(ok, normal_vec.y * k - eye_vec.y * ratio, 0.0),
+        jnp.where(ok, normal_vec.z * k - eye_vec.z * ratio, 0.0),
     )
-    return jnp.where((sin2t > 1.0)[..., None], 0.0, direction)

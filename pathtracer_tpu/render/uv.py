@@ -1,4 +1,4 @@
-"""UV mapping and texture sampling.
+"""UV mapping and texture sampling (SoA forms).
 
 Behavioral equivalents of internal/ocl/tracer.cl:113-213 (cube-cross UV,
 spherical map) and the OpenCL sampler CLK_NORMALIZED_COORDS_TRUE |
@@ -9,20 +9,22 @@ unit-test tables (tests/test_uv.py).
 """
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax.numpy as jnp
 
-from .math3 import norm3
+from .vec3 import Vec3
 
 
-def spherical_map(p: jnp.ndarray) -> jnp.ndarray:
-    """Unit-sphere point [.., 3] -> (u, v) in [0,1) (tracer.cl:178-213)."""
-    theta = jnp.arctan2(p[..., 0], p[..., 2])
-    radius = norm3(p)
-    phi = jnp.arccos(jnp.clip(p[..., 1] / radius, -1.0, 1.0))
+def spherical_map(p: Vec3) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unit-sphere point -> (u, v) in [0,1) (tracer.cl:178-213)."""
+    theta = jnp.arctan2(p.x, p.z)
+    radius = p.norm()
+    phi = jnp.arccos(jnp.clip(p.y / radius, -1.0, 1.0))
     raw_u = theta / (2.0 * jnp.pi)
     u = 1.0 - (raw_u + 0.5)
     v = 1.0 - phi / jnp.pi
-    return jnp.stack([u, v], axis=-1)
+    return u, v
 
 
 def _fmod(a: jnp.ndarray, b: float) -> jnp.ndarray:
@@ -30,41 +32,30 @@ def _fmod(a: jnp.ndarray, b: float) -> jnp.ndarray:
     return a - b * jnp.trunc(a / b)
 
 
-def cube_uv(p: jnp.ndarray) -> jnp.ndarray:
+def cube_uv(p: Vec3) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cube-cross UV for a unit-cube local point (tracer.cl:113-175).
 
     Face layout in the 4x3 cross texture:
         left  u[0,.25]   front u[.25,.5]  right u[.5,.75]  back u[.75,1]
         top   v[2/3,1]   bottom v[0,1/3]  (middle row v[1/3,2/3])
     """
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
-    coord = jnp.maximum(jnp.maximum(ax, ay), az)
+    x, y, z = p.x, p.y, p.z
+    coord = p.abs().max_component()
 
     two_thirds = 0.6666666
     third = 0.333333
+    v_mid = two_thirds - (_fmod(y + 1.0, 2.0) / 2.0) * third
 
-    # per-face (u, v) — all computed, then selected (branch order matches
-    # the reference's if-chain, tracer.cl:158-174)
     u_right = 0.5 + (_fmod(1.0 - z, 2.0) / 2.0) * 0.25
-    v_right = two_thirds - (_fmod(y + 1.0, 2.0) / 2.0) * third
-
     u_left = (_fmod(z + 1.0, 2.0) / 2.0) * 0.25
-    v_left = two_thirds - (_fmod(y + 1.0, 2.0) / 2.0) * third
-
     u_top = 0.25 + (_fmod(x + 1.0, 2.0) / 2.0) * 0.25
     v_top = 1.0 - (_fmod(1.0 - z, 2.0) / 2.0) * third
-
-    u_bottom = 0.25 + (_fmod(x + 1.0, 2.0) / 2.0) * 0.25
+    u_bottom = u_top
     v_bottom = (_fmod(z + 1.0, 2.0) / 2.0) * third
-
-    u_front = 0.25 + (_fmod(x + 1.0, 2.0) / 2.0) * 0.25
-    v_front = two_thirds - (_fmod(y + 1.0, 2.0) / 2.0) * third
-
+    u_front = u_top
     u_back = 0.75 + (_fmod(1.0 - x, 2.0) / 2.0) * 0.25
-    v_back = two_thirds - (_fmod(y + 1.0, 2.0) / 2.0) * third
 
-    # selection cascade (first match wins)
+    # selection cascade (first match wins; order matches tracer.cl:158-174)
     sel_right = coord == x
     sel_left = (~sel_right) & (coord == -x)
     sel_top = (~sel_right) & (~sel_left) & (coord == y)
@@ -76,32 +67,25 @@ def cube_uv(p: jnp.ndarray) -> jnp.ndarray:
         jnp.where(sel_top, u_top,
         jnp.where(sel_bottom, u_bottom,
         jnp.where(sel_front, u_front, u_back)))))
-    v = jnp.where(sel_right, v_right,
-        jnp.where(sel_left, v_left,
+    v = jnp.where(sel_right | sel_left | sel_front, v_mid,
         jnp.where(sel_top, v_top,
-        jnp.where(sel_bottom, v_bottom,
-        jnp.where(sel_front, v_front, v_back)))))
-    return jnp.stack([u, v], axis=-1)
+        jnp.where(sel_bottom, v_bottom, v_mid)))
+    return u, v
 
 
 def sample_texture(atlas: jnp.ndarray, layer: jnp.ndarray, u: jnp.ndarray,
-                   v: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample with REPEAT wrap from a [n, H, W, 3] atlas.
-
-    Equivalent of read_imagef with the reference's sampler (tracer.cl:829):
-    normalized coords, wrap addressing, linear filtering.
-    layer: [R] i32; u, v: [R] floats (any range; wrapped).
-    Returns [R, 3].
-    """
-    n, h, w, _ = atlas.shape
-    # OpenCL normalized-coordinate linear filtering: sample centers at
-    # (i + 0.5) / W.
+                   v: jnp.ndarray) -> Vec3:
+    """Bilinear sample with REPEAT wrap from a channel-leading [3, n, H, W]
+    atlas (tracer.cl:829 sampler semantics). layer/u/v: [R]. Returns Vec3."""
+    _, n, h, w = atlas.shape
+    # OpenCL normalized-coordinate linear filtering: texel centers at
+    # (i + 0.5) / W
     fx = u * w - 0.5
     fy = v * h - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    tx = (fx - x0)[..., None]
-    ty = (fy - y0)[..., None]
+    tx = fx - x0
+    ty = fy - y0
 
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     x1i = jnp.mod(x0i + 1, w)
@@ -109,10 +93,13 @@ def sample_texture(atlas: jnp.ndarray, layer: jnp.ndarray, u: jnp.ndarray,
     y1i = jnp.mod(y0i + 1, h)
     li = jnp.clip(layer, 0, n - 1)
 
-    c00 = atlas[li, y0i, x0i]
-    c01 = atlas[li, y0i, x1i]
-    c10 = atlas[li, y1i, x0i]
-    c11 = atlas[li, y1i, x1i]
-    top = c00 * (1.0 - tx) + c01 * tx
-    bot = c10 * (1.0 - tx) + c11 * tx
-    return top * (1.0 - ty) + bot * ty
+    def chan(c):
+        c00 = atlas[c, li, y0i, x0i]
+        c01 = atlas[c, li, y0i, x1i]
+        c10 = atlas[c, li, y1i, x0i]
+        c11 = atlas[c, li, y1i, x1i]
+        top = c00 * (1.0 - tx) + c01 * tx
+        bot = c10 * (1.0 - tx) + c11 * tx
+        return top * (1.0 - ty) + bot * ty
+
+    return Vec3(chan(0), chan(1), chan(2))

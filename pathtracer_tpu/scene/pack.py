@@ -23,13 +23,20 @@ NONE_TYPE = -1
 class SceneArrays(NamedTuple):
     """Device-side scene. All arrays have static (padded) shapes.
 
+    LAYOUT RULE (TPU): per-element attribute arrays keep the ELEMENT axis
+    last or whole — no trailing size-3 component axes that XLA:TPU would
+    pad to 128 lanes (see render/vec3.py). Per-component data is stored as
+    [3, N] or gathered column-wise from small 2D tables.
+
     Objects (reference CLObject fields, ocltracer.go:25-51):
     """
     obj_type: jnp.ndarray          # [No] i32: 0 plane,1 sphere,2 cyl,3 box,4 group,-1 pad
-    inverse: jnp.ndarray           # [No,4,4]
+    inverse: jnp.ndarray           # [No,4,4] (used with STATIC object index -> scalars)
     inverse_transpose: jnp.ndarray # [No,4,4]
     transform: jnp.ndarray         # [No,4,4]
-    color: jnp.ndarray             # [No,3]
+    inv_affine: jnp.ndarray        # [No,12] row-major 3x4 of inverse (per-ray gather)
+    inv_t_affine: jnp.ndarray      # [No,12] row-major 3x4 of inverse-transpose
+    color: jnp.ndarray             # [No,3] (tiny table; column gathers)
     emission: jnp.ndarray          # [No,3]
     refractive_index: jnp.ndarray  # [No]
     reflectivity: jnp.ndarray      # [No]
@@ -47,14 +54,14 @@ class SceneArrays(NamedTuple):
     texture_scale_nm: jnp.ndarray  # [No,2]
 
     # BVH node pool (reference CLGroup, ocltracer.go:53-64 -> skip links)
-    node_bb_min: jnp.ndarray       # [Nn,3]
+    node_bb_min: jnp.ndarray       # [Nn,3] (column gathers)
     node_bb_max: jnp.ndarray       # [Nn,3]
     node_tri_start: jnp.ndarray    # [Nn] i32
     node_is_leaf: jnp.ndarray      # [Nn] i32
     node_exit: jnp.ndarray         # [Nn] i32
 
     # Triangle pool (reference CLTriangle, ocltracer.go:66-77)
-    tri_p1: jnp.ndarray            # [Nt,3]
+    tri_p1: jnp.ndarray            # [Nt,3] (column gathers)
     tri_e1: jnp.ndarray
     tri_e2: jnp.ndarray
     tri_n1: jnp.ndarray
@@ -62,10 +69,11 @@ class SceneArrays(NamedTuple):
     tri_n3: jnp.ndarray
     tri_color: jnp.ndarray         # [Nt,3]
 
-    # Texture atlases (reference image2d_array_t x3, ocltracer.go:228-254)
-    tex_planar: jnp.ndarray        # [n,H,W,3]
-    tex_sphere: jnp.ndarray        # [n,H,W,3]
-    tex_cube: jnp.ndarray          # [n,H,W,3]
+    # Texture atlases, CHANNEL-LEADING [3, n, H, W] so (H, W) take the
+    # physical tiles (reference image2d_array_t x3, ocltracer.go:228-254)
+    tex_planar: jnp.ndarray
+    tex_sphere: jnp.ndarray
+    tex_cube: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +81,9 @@ class SceneMeta:
     """Static (hashable) scene structure; closed over at jit-trace time."""
     n_objects: int                 # real objects (<= padded size)
     max_objects: int
+    # static per-object type codes; the intersector unrolls over these so
+    # each object compiles to exactly its own primitive test
+    obj_types: Tuple[int, ...]
     group_indices: Tuple[int, ...] # which object slots are BVH groups
     # static (obj_slot, bvh_root, bvh_end) per group; jit closes over these
     group_bvh: Tuple[Tuple[int, int, int], ...]
@@ -96,20 +107,21 @@ class Scene:
 
 
 def _pack_texture_atlas(images: Sequence[np.ndarray], dtype) -> np.ndarray:
-    """Stack images into [n, H, W, 3], padding to the max H/W by edge-repeat
-    resize (the reference requires same-size layers in image2d_array_t)."""
+    """Stack images into channel-leading [3, n, H, W], padding to the max
+    H/W by nearest resize (the reference requires same-size layers in
+    image2d_array_t)."""
     if not images:
-        return np.ones((1, 1, 1, 3), dtype=dtype)
+        return np.ones((3, 1, 1, 1), dtype=dtype)
     h = max(im.shape[0] for im in images)
     w = max(im.shape[1] for im in images)
-    out = np.zeros((len(images), h, w, 3), dtype=dtype)
+    out = np.zeros((3, len(images), h, w), dtype=dtype)
     for i, im in enumerate(images):
         if im.shape[0] != h or im.shape[1] != w:
             # nearest-neighbor resize to the common size
             yi = (np.arange(h) * im.shape[0] // h).clip(0, im.shape[0] - 1)
             xi = (np.arange(w) * im.shape[1] // w).clip(0, im.shape[1] - 1)
             im = im[yi][:, xi]
-        out[i] = im[..., :3]
+        out[:, i] = np.moveaxis(im[..., :3], -1, 0)
     return out
 
 
@@ -209,6 +221,8 @@ def pack_scene(
         inverse=f(inverse),
         inverse_transpose=f(inverse_t),
         transform=f(transform),
+        inv_affine=f(inverse[:, :3, :].reshape(no, 12)),
+        inv_t_affine=f(inverse_t[:, :3, :].reshape(no, 12)),
         color=f(color),
         emission=f(emission),
         refractive_index=f(refr_idx),
@@ -244,6 +258,7 @@ def pack_scene(
     meta = SceneMeta(
         n_objects=n,
         max_objects=no,
+        obj_types=tuple(int(t) for t in obj_type[:n]),
         group_indices=tuple(group_indices),
         group_bvh=tuple(group_bvh),
         n_nodes=int(pool.n_nodes) if not dummy else 0,

@@ -1,6 +1,8 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere.
+The environment's axon TPU plugin force-sets JAX_PLATFORMS=axon at
+interpreter startup, so the env var alone is not enough — we must also
+update jax.config before any backend is initialized.
 """
 import os
 
@@ -10,3 +12,9 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu"

@@ -10,6 +10,7 @@ from pathtracer_tpu.scene.material import Material
 from pathtracer_tpu.scene.pack import pack_scene
 from pathtracer_tpu.scene.shapes import Cube, Cylinder, Group, Plane, Sphere, Triangle
 from pathtracer_tpu.render.intersect import intersect_scene
+from pathtracer_tpu.render.vec3 import Vec3
 
 EPS = 1e-4
 TMAX = 1024.0
@@ -18,11 +19,20 @@ TMAX = 1024.0
 def isect(objects, origins, directions):
     arrays, meta = pack_scene(objects)
     f = jax.jit(lambda o, d: intersect_scene(arrays, meta, o, d, EPS, TMAX))
-    o = jnp.asarray(np.atleast_2d(origins), jnp.float32)
-    d = jnp.asarray(np.atleast_2d(directions), jnp.float32)
-    hit = f(o, d)
-    return (np.asarray(hit.t), np.asarray(hit.obj_idx), np.asarray(hit.is_tri),
-            np.asarray(hit.tri_normal))
+    o = np.atleast_2d(np.asarray(origins, np.float32))
+    d = np.atleast_2d(np.asarray(directions, np.float32))
+    hit = f(Vec3(*(jnp.asarray(o[:, i]) for i in range(3))),
+            Vec3(*(jnp.asarray(d[:, i]) for i in range(3))))
+    # reconstruct the smooth triangle normal from (slot, u, v)
+    slot = np.clip(np.asarray(hit.tri_slot), 0, None)
+    u = np.asarray(hit.tri_u)[:, None]
+    v = np.asarray(hit.tri_v)[:, None]
+    n1 = np.asarray(arrays.tri_n1)[slot]
+    n2 = np.asarray(arrays.tri_n2)[slot]
+    n3 = np.asarray(arrays.tri_n3)[slot]
+    tn = n2 * u + n3 * v + n1 * (1.0 - u - v)
+    return (np.asarray(hit.t), np.asarray(hit.obj_idx),
+            np.asarray(hit.is_tri), tn)
 
 
 def test_sphere_two_points():

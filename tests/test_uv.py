@@ -6,6 +6,13 @@ import jax.numpy as jnp
 import pytest
 
 from pathtracer_tpu.render.uv import cube_uv, sample_texture, spherical_map
+from pathtracer_tpu.render.vec3 import Vec3
+
+
+def _v(p):
+    return Vec3(jnp.asarray([p[0]], jnp.float32),
+                jnp.asarray([p[1]], jnp.float32),
+                jnp.asarray([p[2]], jnp.float32))
 
 
 @pytest.mark.parametrize(
@@ -21,8 +28,8 @@ from pathtracer_tpu.render.uv import cube_uv, sample_texture, spherical_map
     ],
 )
 def test_spherical_map_table(p, expected):
-    uv = jax.jit(spherical_map)(jnp.asarray([p], jnp.float32))
-    assert np.allclose(np.asarray(uv)[0], expected, atol=1e-5)
+    u, v = jax.jit(spherical_map)(_v(p))
+    assert np.allclose([float(u[0]), float(v[0])], expected, atol=1e-5)
 
 
 @pytest.mark.parametrize(
@@ -37,15 +44,27 @@ def test_spherical_map_table(p, expected):
     ],
 )
 def test_cube_uv_face_regions(p, u_range, v_range):
-    uv = np.asarray(jax.jit(cube_uv)(jnp.asarray([p], jnp.float32)))[0]
-    assert u_range[0] <= uv[0] <= u_range[1], uv
-    assert v_range[0] <= uv[1] <= v_range[1], uv
+    u, v = jax.jit(cube_uv)(_v(p))
+    assert u_range[0] <= float(u[0]) <= u_range[1], (float(u[0]), float(v[0]))
+    assert v_range[0] <= float(v[0]) <= v_range[1], (float(u[0]), float(v[0]))
 
 
 def test_cube_uv_front_center():
     # front face center: u = 0.25 + 0.5*0.25 = 0.375, v = 2/3 - 0.5/3 = 0.5
-    uv = np.asarray(jax.jit(cube_uv)(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)))[0]
-    assert np.allclose(uv, [0.375, 0.5], atol=1e-4)
+    u, v = jax.jit(cube_uv)(_v((0.0, 0.0, 1.0)))
+    assert np.allclose([float(u[0]), float(v[0])], [0.375, 0.5], atol=1e-4)
+
+
+def _atlas(arr_hw3):
+    """[n,H,W,3] -> channel-leading [3,n,H,W] jnp atlas."""
+    return jnp.asarray(np.moveaxis(arr_hw3, -1, 0))
+
+
+def _sample(at, u, v):
+    f = jax.jit(lambda uu, vv: sample_texture(
+        at, jnp.zeros_like(uu, jnp.int32), uu, vv))
+    out = f(jnp.asarray([u], jnp.float32), jnp.asarray([v], jnp.float32))
+    return np.array([float(out.x[0]), float(out.y[0]), float(out.z[0])])
 
 
 def test_sample_texture_bilinear_wrap():
@@ -54,26 +73,19 @@ def test_sample_texture_bilinear_wrap():
     atlas[0, 0, 1] = [0, 1, 0]
     atlas[0, 1, 0] = [0, 0, 1]
     atlas[0, 1, 1] = [1, 1, 1]
-    at = jnp.asarray(atlas)
-    f = jax.jit(lambda u, v: sample_texture(
-        at, jnp.zeros_like(u, jnp.int32), u, v))
+    at = _atlas(atlas)
     # texel centers: (0.25, 0.25) -> exact texel values
-    out = np.asarray(f(jnp.asarray([0.25], jnp.float32), jnp.asarray([0.25], jnp.float32)))
-    assert np.allclose(out[0], [1, 0, 0], atol=1e-6)
+    assert np.allclose(_sample(at, 0.25, 0.25), [1, 0, 0], atol=1e-6)
     # midpoint: average of all four
-    out = np.asarray(f(jnp.asarray([0.5], jnp.float32), jnp.asarray([0.5], jnp.float32)))
-    assert np.allclose(out[0], [0.5, 0.5, 0.5], atol=1e-6)
+    assert np.allclose(_sample(at, 0.5, 0.5), [0.5, 0.5, 0.5], atol=1e-6)
     # wrap: u=1.25 == u=0.25
-    out = np.asarray(f(jnp.asarray([1.25], jnp.float32), jnp.asarray([0.25], jnp.float32)))
-    assert np.allclose(out[0], [1, 0, 0], atol=1e-6)
+    assert np.allclose(_sample(at, 1.25, 0.25), [1, 0, 0], atol=1e-6)
 
 
 def test_sample_texture_repeat_negative():
     atlas = np.zeros((1, 1, 4, 3), np.float32)
     atlas[0, 0, :, 0] = [0.0, 0.25, 0.5, 0.75]
-    at = jnp.asarray(atlas)
-    f = jax.jit(lambda u, v: sample_texture(
-        at, jnp.zeros_like(u, jnp.int32), u, v))
-    a = np.asarray(f(jnp.asarray([-0.875], jnp.float32), jnp.asarray([0.5], jnp.float32)))
-    b = np.asarray(f(jnp.asarray([0.125], jnp.float32), jnp.asarray([0.5], jnp.float32)))
-    assert np.allclose(a, b, atol=1e-6)
+    at = _atlas(atlas)
+    assert np.allclose(
+        _sample(at, -0.875, 0.5), _sample(at, 0.125, 0.5), atol=1e-6
+    )
