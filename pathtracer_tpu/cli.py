@@ -1,0 +1,165 @@
+"""Command-line entry point.
+
+Flag-for-flag equivalent of the reference CLI (cmd/pt/main.go:45-112):
+--width --height --samples --aperture --focal-length --scene
+--device-index --list-devices --list-scenes, with viper-style environment
+overrides (PT_WIDTH=1920 etc., cf. viper.AutomaticEnv, cmd/pt/main.go:64),
+plus TPU-era flags for precision, chunking, distribution, checkpointing and
+profiling.
+
+Outputs match the reference render driver: `experiment.raw` (float32 RGB
+dump, internal/app/raw/writer.go:11-35) and `out-<spp>-<W>x<H>.png`
+(internal/app/tracer/pathtracer.go:29-39).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+
+def _env(name: str, default, cast):
+    v = os.environ.get(f"PT_{name.upper().replace('-', '_')}")
+    return cast(v) if v is not None else default
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pathtracer_tpu",
+        description="TPU-native Monte-Carlo path tracer",
+    )
+    # reference flags (cmd/pt/main.go:48-56)
+    p.add_argument("--width", type=int, default=_env("width", 1280, int))
+    p.add_argument("--height", type=int, default=_env("height", 960, int))
+    p.add_argument("--samples", type=int, default=_env("samples", 1, int))
+    p.add_argument("--aperture", type=float,
+                   default=_env("aperture", 0.0, float))
+    p.add_argument("--focal-length", type=float,
+                   default=_env("focal_length", 0.0, float))
+    p.add_argument("--scene", type=str,
+                   default=_env("scene", "reference", str))
+    p.add_argument("--device-index", type=int,
+                   default=_env("device_index", 0, int))
+    p.add_argument("--list-devices", action="store_true")
+    p.add_argument("--list-scenes", action="store_true")
+    # TPU-era flags
+    p.add_argument("--dtype", choices=("float32", "float64"),
+                   default=_env("dtype", "float32", str))
+    p.add_argument("--samples-per-pass", type=int,
+                   default=_env("samples_per_pass", 8, int))
+    p.add_argument("--rows-per-pass", type=int,
+                   default=_env("rows_per_pass", 0, int))
+    p.add_argument("--seed", type=int, default=_env("seed", 0, int))
+    p.add_argument("--distributed", action="store_true",
+                   help="shard pixels x spp over all visible devices")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="mesh shape as PIXELSxSPP, e.g. 4x2")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="checkpoint file (.npz) for save/resume")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint every N sample chunks")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace to this directory")
+    p.add_argument("--output", type=str, default=None,
+                   help="PNG path (default out-<spp>-<W>x<H>.png)")
+    p.add_argument("--raw-output", type=str, default="experiment.raw")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def list_devices() -> None:
+    """Equivalent of cmd/pt/main.go:98-112."""
+    import jax
+
+    for i, d in enumerate(jax.devices()):
+        print(f"Index: {i}")
+        print(f"Type: {d.platform.upper()}")
+        print(f"Name: {getattr(d, 'device_kind', d)}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+    )
+    log = logging.getLogger("pathtracer_tpu")
+
+    from .scenes import list_scenes as _scenes
+
+    if args.list_scenes:
+        # cmd/pt/main.go:92-96
+        print("Available scenes:")
+        for name in _scenes():
+            print(f"  {name}")
+        return 0
+    if args.list_devices:
+        list_devices()
+        return 0
+
+    import jax
+
+    from .config import RenderConfig
+    from .driver import render_driver
+    from .io.png import write_png
+    from .io.raw import write_raw
+    from .scenes import get_scene
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, samples=args.samples,
+        aperture=args.aperture, focal_length=args.focal_length,
+        dtype=args.dtype, samples_per_pass=args.samples_per_pass,
+        rows_per_pass=args.rows_per_pass, seed=args.seed,
+    )
+
+    t0 = time.perf_counter()
+    sc = get_scene(args.scene, cfg)
+    arrays, meta = sc.pack()
+    log.info("scene %s: %d objects, %d BVH nodes, %d triangle slots",
+             args.scene, meta.n_objects, meta.n_nodes, meta.n_tri_slots)
+
+    if args.distributed or args.mesh:
+        from jax.sharding import Mesh
+        import numpy as np
+
+        from .parallel.mesh import make_mesh, mesh_shape_for
+        from .parallel.render_dist import render_sharded
+
+        devices = jax.devices()
+        if args.mesh:
+            shape = tuple(int(v) for v in args.mesh.split("x"))
+        else:
+            shape = mesh_shape_for(len(devices))
+        mesh = make_mesh(devices[:shape[0] * shape[1]], shape=shape)
+        log.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
+        img = render_sharded(arrays, meta, sc.camera, cfg, mesh)
+        stats = None
+    else:
+        if args.device_index:
+            jax.config.update(
+                "jax_default_device", jax.devices()[args.device_index]
+            )
+        img, stats = render_driver(
+            arrays, meta, sc.camera, cfg,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+            profile_dir=args.profile,
+        )
+
+    dt = time.perf_counter() - t0
+    log.info("render took %.2fs%s", dt,
+             f" ({stats.msamples_per_sec:.2f} Msamples/s)" if stats else "")
+
+    write_raw(args.raw_output, img)
+    out = args.output or f"out-{cfg.samples}-{cfg.width}x{cfg.height}.png"
+    write_png(out, img)
+    log.info("wrote %s and %s", args.raw_output, out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

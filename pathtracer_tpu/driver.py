@@ -1,0 +1,166 @@
+"""Render driver: chunked rendering with progress logging, throughput
+metrics, checkpoint/resume, and optional profiler traces.
+
+Equivalent of the reference's render driver (internal/app/tracer/
+pathtracer.go:19-39, renderer.go:40-75) plus the auxiliary subsystems the
+reference lacks (SURVEY.md §5): the reference's only resiliency mechanism is
+4-row batching against GPU watchdogs (ocltracer.go:212-223) and it cannot
+resume a render; here every sample-chunk segment is checkpointable and a
+render resumes exactly (the RNG is counter-based, keyed by global chunk
+index, so the restarted stream is identical).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from .config import RenderConfig
+from .render.camera import Camera
+from .scene.pack import SceneArrays, SceneMeta
+
+log = logging.getLogger("pathtracer_tpu")
+
+
+@dataclasses.dataclass
+class RenderStats:
+    """Throughput metrics (the reference only logs wall time per batch,
+    ocltracer.go:222; we also report samples/sec and rays/sec bounds)."""
+    wall_s: float = 0.0
+    samples: int = 0
+
+    @property
+    def msamples_per_sec(self) -> float:
+        return self.samples / self.wall_s / 1e6 if self.wall_s else 0.0
+
+
+def _checkpoint_save(path: str, accum: np.ndarray, chunks_done: int,
+                     cfg: RenderConfig) -> None:
+    tmp = path + ".tmp.npz"
+    np.savez(tmp,
+             accum=accum, chunks_done=chunks_done,
+             meta=json.dumps({
+                 "width": cfg.width, "height": cfg.height,
+                 "samples": cfg.samples,
+                 "samples_per_pass": cfg.samples_per_pass,
+                 "seed": cfg.seed,
+             }))
+    os.replace(tmp, path)
+
+
+def _checkpoint_load(path: str, cfg: RenderConfig):
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        for k in ("width", "height", "samples", "samples_per_pass", "seed"):
+            if meta[k] != getattr(cfg, k):
+                raise ValueError(
+                    f"checkpoint {path} was written for {k}={meta[k]}, "
+                    f"current config has {getattr(cfg, k)}"
+                )
+        return z["accum"].copy(), int(z["chunks_done"])
+
+
+def render_driver(
+    scn: SceneArrays,
+    meta: SceneMeta,
+    camera: Camera,
+    cfg: RenderConfig,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,       # in sample chunks; 0 = only at end
+    resume: bool = False,
+    profile_dir: Optional[str] = None,
+    mesh=None,
+) -> tuple[np.ndarray, RenderStats]:
+    """Render the full image, returning ([H, W, 3] float32, stats).
+
+    The sample budget runs in chunks of cfg.samples_per_pass; the
+    accumulated (unnormalized) radiance sum is checkpointed every
+    `checkpoint_every` chunks. Resume picks up at the recorded chunk with a
+    bit-identical RNG stream.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .render.integrator import render_pass
+    from .render.vec3 import Vec3
+
+    W, H = camera.width, camera.height
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    cam = camera.pack(dtype)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    spp_chunk = min(cfg.samples_per_pass, cfg.samples)
+    cfg = cfg.replace(samples_per_pass=spp_chunk)
+    n_chunks = max(1, (cfg.samples + spp_chunk - 1) // spp_chunk)
+
+    accum = np.zeros((H * W, 3), dtype=np.float64)
+    start_chunk = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        accum, start_chunk = _checkpoint_load(checkpoint_path, cfg)
+        log.info("resumed from %s at chunk %d/%d",
+                 checkpoint_path, start_chunk, n_chunks)
+
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel(), jnp.int32)
+    py = jnp.asarray(ys.ravel(), jnp.int32)
+
+    @jax.jit
+    def segment(c0: jnp.ndarray, n: jnp.ndarray, k) -> Vec3:
+        """Sum of render passes for global chunks [c0, c0+n)."""
+        def body(i, acc):
+            c = c0 + i
+            kc = jax.random.fold_in(k, c)
+            s0 = (c * spp_chunk).astype(jnp.int32)
+            return acc + render_pass(scn, meta, cfg, cam, px, py, s0,
+                                     spp_chunk, kc)
+        init = Vec3.zeros((px.shape[0],), dtype)
+        return jax.lax.while_loop(
+            lambda s: s[0] < n,
+            lambda s: (s[0] + 1, body(s[0], s[1])),
+            (jnp.int32(0), init),
+        )[1]
+
+    seg_len = checkpoint_every if checkpoint_every > 0 else n_chunks
+    stats = RenderStats()
+    t_total = time.perf_counter()
+
+    ctx = (jax.profiler.trace(profile_dir) if profile_dir
+           else _null_context())
+    with ctx:
+        c = start_chunk
+        while c < n_chunks:
+            n = min(seg_len, n_chunks - c)
+            t0 = time.perf_counter()
+            out = segment(jnp.int32(c), jnp.int32(n), key)
+            out.x.block_until_ready()
+            dt = time.perf_counter() - t0
+            seg_np = np.stack(
+                [np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)],
+                axis=-1,
+            ).astype(np.float64)
+            accum += seg_np
+            c += n
+            seg_samples = W * H * n * spp_chunk
+            stats.samples += seg_samples
+            log.info("%d/%d chunks done in %.2fs (%.2f Msamples/s)",
+                     c, n_chunks, dt, seg_samples / dt / 1e6)
+            if checkpoint_path and (checkpoint_every > 0 or c >= n_chunks):
+                _checkpoint_save(checkpoint_path, accum, c, cfg)
+
+    stats.wall_s = time.perf_counter() - t_total
+    total_spp = n_chunks * spp_chunk
+    img = (accum / float(total_spp)).astype(np.float32).reshape(H, W, 3)
+    return img, stats
+
+
+class _null_context:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

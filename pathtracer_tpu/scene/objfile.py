@@ -92,7 +92,9 @@ def parse_obj(data: str, mtl_dir: str = ".") -> Obj:
                     tri = Triangle(
                         out.vertices[i1], out.vertices[i2], out.vertices[i3]
                     )
-                    tri.material = current_material
+                    # plain-vertex faces keep the default material — the
+                    # reference only assigns currentMaterial on the v/t/n
+                    # branch (objparser.go:58-71 vs 74-106)
                     out.groups[current_group].add_child(tri)
             else:
                 for i in range(2, len(parts) - 1):

@@ -105,6 +105,17 @@ class Scene:
     sphere_textures: List[np.ndarray] = dataclasses.field(default_factory=list)
     cube_textures: List[np.ndarray] = dataclasses.field(default_factory=list)
 
+    def pack(self, **kw) -> Tuple["SceneArrays", "SceneMeta"]:
+        """Flatten to device arrays, threading the three texture atlases
+        through (reference prepareTextures x3, ocltracer.go:178-183)."""
+        return pack_scene(
+            self.objects,
+            textures=self.textures,
+            sphere_textures=self.sphere_textures,
+            cube_textures=self.cube_textures,
+            **kw,
+        )
+
 
 def _pack_texture_atlas(images: Sequence[np.ndarray], dtype) -> np.ndarray:
     """Stack images into channel-leading [3, n, H, W], padding to the max

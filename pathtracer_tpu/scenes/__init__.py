@@ -34,3 +34,7 @@ def list_scenes():
 
 # import for registration side effects
 from . import cornell  # noqa: E402,F401
+from . import models  # noqa: E402,F401
+from . import gopher  # noqa: E402,F401
+from . import transparency  # noqa: E402,F401
+from . import textured  # noqa: E402,F401
