@@ -42,6 +42,11 @@ class RenderConfig:
     rows_per_pass: int = 0  # 0 = whole image in one pass
     # RNG seed for the threefry counter-based generator.
     seed: int = 0
+    # Terminate the bounce loop once every ray in the batch has died
+    # (while_loop). Reverse-mode AD cannot differentiate a dynamic-trip
+    # while_loop, so the differentiable path sets this False (fixed
+    # fori_loop over max_bounces — identical results, ~2x slower forward).
+    early_exit: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

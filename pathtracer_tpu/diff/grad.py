@@ -76,6 +76,9 @@ def render_image_diff(
 ) -> Vec3:
     """Differentiable estimate of P pixels at n_samples spp -> Vec3 [P]."""
     scn = apply_params(scn, params)
+    # fixed-trip bounce loop: reverse-mode AD cannot cross a dynamic
+    # while_loop (config.py early_exit)
+    cfg = cfg.replace(early_exit=False)
     acc = render_pass(scn, meta, cfg, cam, px, py,
                       jnp.int32(0), n_samples, key)
     return acc * (1.0 / float(n_samples))

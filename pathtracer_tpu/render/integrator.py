@@ -28,7 +28,7 @@ Semantics preserved exactly (all cited):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ from .camera import Camera, CameraArrays, rays_for_pixels
 from .intersect import Hit, intersect_scene
 from .sampling import random_vector_in_hemisphere, refracted_direction, schlick
 from .uv import cube_uv, sample_texture, spherical_map
-from .vec3 import Vec3, mat_gather_apply_vector
+from .vec3 import Vec3
 
 
 class PathState(NamedTuple):
@@ -60,22 +60,111 @@ def _gather_vec(table: jnp.ndarray, idx: jnp.ndarray) -> Vec3:
     return Vec3(table[idx, 0], table[idx, 1], table[idx, 2])
 
 
-def _surface_normal(scn: SceneArrays, obj_type, lp: Vec3, tri_normal: Vec3,
-                    is_tri, obj_idx, min_y, max_y, eps) -> Vec3:
+class ObjAttrs(NamedTuple):
+    """Per-ray object attributes for the winning hit, all [R]."""
+    color: Vec3
+    emission: Vec3
+    refractive_index: jnp.ndarray
+    reflectivity: jnp.ndarray
+    min_y: jnp.ndarray
+    max_y: jnp.ndarray
+    inv_t: Tuple[jnp.ndarray, ...]   # 12 rows: 3x4 inverse-transpose
+    obj_type: jnp.ndarray            # float codes (exact for small ints)
+    is_textured: jnp.ndarray
+    texture_index: jnp.ndarray       # i32
+    texture_scale: Tuple[jnp.ndarray, jnp.ndarray]
+    is_textured_nm: jnp.ndarray
+    texture_index_nm: jnp.ndarray    # i32
+    texture_scale_nm: Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def _fetch_object_attrs(scn: SceneArrays, oi: jnp.ndarray) -> ObjAttrs:
+    """Fetch ALL per-object attributes for each ray with ONE one-hot
+    matmul on the MXU instead of dynamic gathers.
+
+    XLA:TPU lowers an [R]-indexed gather from a small table to ~250M
+    elem/s (measured ~5 ms per gather at R=1.2M; the old bounce step spent
+    ~170 ms/bounce in ~30 such gathers). The transposed one-hot contraction
+    [C, No] @ [No, R] keeps R in the lane dimension (no tile-padding
+    blowup) and fetches all C attribute rows in one bandwidth-bound pass.
+    """
+    dt = scn.color.dtype
+    no = scn.obj_type.shape[0]
+
+    # [C, No] attribute table (tiny; assembled from the packed scene)
+    f = lambda a: a.astype(dt)
+    table = jnp.concatenate([
+        scn.color.T,                            # 0-2
+        scn.emission.T,                         # 3-5
+        scn.refractive_index[None, :],          # 6
+        scn.reflectivity[None, :],              # 7
+        scn.min_y[None, :],                     # 8
+        scn.max_y[None, :],                     # 9
+        scn.inv_t_affine.T,                     # 10-21
+        f(scn.obj_type)[None, :],               # 22
+        f(scn.is_textured)[None, :],            # 23
+        f(scn.texture_index)[None, :],          # 24
+        scn.texture_scale.T,                    # 25-26
+        f(scn.is_textured_nm)[None, :],         # 27
+        f(scn.texture_index_nm)[None, :],       # 28
+        scn.texture_scale_nm.T,                 # 29-30
+    ], axis=0)
+
+    onehot = (
+        jnp.arange(no, dtype=oi.dtype)[:, None] == oi[None, :]
+    ).astype(dt)                                 # [No, R]
+    attrs = jax.lax.dot_general(
+        table, onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=dt,
+    )                                            # [C, R]
+
+    return ObjAttrs(
+        color=Vec3(attrs[0], attrs[1], attrs[2]),
+        emission=Vec3(attrs[3], attrs[4], attrs[5]),
+        refractive_index=attrs[6],
+        reflectivity=attrs[7],
+        min_y=attrs[8],
+        max_y=attrs[9],
+        inv_t=tuple(attrs[10 + k] for k in range(12)),
+        obj_type=attrs[22],
+        is_textured=attrs[23],
+        texture_index=attrs[24].astype(jnp.int32),
+        texture_scale=(attrs[25], attrs[26]),
+        is_textured_nm=attrs[27],
+        texture_index_nm=attrs[28].astype(jnp.int32),
+        texture_scale_nm=(attrs[29], attrs[30]),
+    )
+
+
+def _mat12_apply_vector(m: Tuple[jnp.ndarray, ...], v: Vec3) -> Vec3:
+    """Apply per-ray 3x4 matrices given as 12 [R] row streams."""
+    return Vec3(
+        m[0] * v.x + m[1] * v.y + m[2] * v.z,
+        m[4] * v.x + m[5] * v.y + m[6] * v.z,
+        m[8] * v.x + m[9] * v.y + m[10] * v.z,
+    )
+
+
+def _surface_normal(scn: SceneArrays, meta: SceneMeta, at: ObjAttrs,
+                    lp: Vec3, tri_normal: Vec3, is_tri, eps) -> Vec3:
     """Object-space normal by primitive type (tracer.cl:903-950)."""
+    obj_type = at.obj_type
+    min_y, max_y = at.min_y, at.max_y
     zero = jnp.zeros_like(lp.x)
     one = jnp.ones_like(zero)
 
-    # PLANE: +Y, or normal-map texture (tracer.cl:906-914)
+    # PLANE: +Y, or normal-map texture (tracer.cl:906-914). The sampling
+    # code is statically elided for scenes without normal maps.
     n_plane = Vec3(zero, one, zero)
-    has_nm = (scn.is_textured_nm[obj_idx] == 1) & (obj_type == PLANE)
-    nm_sx = scn.texture_scale_nm[obj_idx, 0]
-    nm_sy = scn.texture_scale_nm[obj_idx, 1]
-    nm_rgb = sample_texture(
-        scn.tex_planar, scn.texture_index_nm[obj_idx],
-        jnp.abs(lp.x) * nm_sx, jnp.abs(lp.z) * nm_sy,
-    ).normalized()
-    n_plane = Vec3.where(has_nm, nm_rgb, n_plane)
+    if meta.has_normal_maps:
+        has_nm = (at.is_textured_nm == 1) & (obj_type == PLANE)
+        nm_sx, nm_sy = at.texture_scale_nm
+        nm_rgb = sample_texture(
+            scn.tex_planar, at.texture_index_nm,
+            jnp.abs(lp.x) * nm_sx, jnp.abs(lp.z) * nm_sy,
+        ).normalized()
+        n_plane = Vec3.where(has_nm, nm_rgb, n_plane)
 
     # SPHERE: local point minus origin (tracer.cl:915-920) -> lp itself
 
@@ -105,26 +194,36 @@ def _surface_normal(scn: SceneArrays, obj_type, lp: Vec3, tri_normal: Vec3,
     return Vec3.where(is_tri, tri_normal, n)
 
 
-def _surface_color(scn: SceneArrays, obj_type, obj_idx, lp: Vec3,
-                   tri_color: Vec3, is_tri) -> Vec3:
-    """Surface color incl. texture lookups (tracer.cl:1075-1093)."""
-    base = _gather_vec(scn.color, obj_idx)
-    textured = scn.is_textured[obj_idx] == 1
-    tex_idx = scn.texture_index[obj_idx]
-    sx = scn.texture_scale[obj_idx, 0]
-    sy = scn.texture_scale[obj_idx, 1]
+def _surface_color(scn: SceneArrays, meta: SceneMeta, at: ObjAttrs,
+                   lp: Vec3, tri_color: Vec3, is_tri) -> Vec3:
+    """Surface color incl. texture lookups (tracer.cl:1075-1093).
 
-    c_plane = sample_texture(scn.tex_planar, tex_idx, lp.x * sx, lp.z * sy)
-    us, vs = spherical_map(lp)
-    c_sphere = sample_texture(scn.tex_sphere, tex_idx, us, 1.0 - vs)
-    uc, vc = cube_uv(lp)
-    c_cube = sample_texture(scn.tex_cube, tex_idx, uc, vc)
+    Texture sampling per primitive type is STATICALLY elided when no object
+    of that type is textured (meta.textured_types) — untextured scenes pay
+    zero gather cost, unlike the reference's runtime isTextured branch."""
+    base = at.color
+    obj_type = at.obj_type
+    if meta.textured_types:
+        textured = at.is_textured == 1
+        tex_idx = at.texture_index
+        sx, sy = at.texture_scale
 
-    tex_color = Vec3.where(obj_type == PLANE, c_plane,
-                Vec3.where(obj_type == SPHERE, c_sphere,
-                Vec3.where(obj_type == BOX, c_cube, base)))
-    color = Vec3.where(textured, tex_color, base)
-    return Vec3.where(is_tri, tri_color, color)
+        tex_color = base
+        if PLANE in meta.textured_types:
+            c_plane = sample_texture(scn.tex_planar, tex_idx,
+                                     lp.x * sx, lp.z * sy)
+            tex_color = Vec3.where(obj_type == PLANE, c_plane, tex_color)
+        if SPHERE in meta.textured_types:
+            us, vs = spherical_map(lp)
+            c_sphere = sample_texture(scn.tex_sphere, tex_idx, us, 1.0 - vs)
+            tex_color = Vec3.where(obj_type == SPHERE, c_sphere, tex_color)
+        if BOX in meta.textured_types:
+            uc, vc = cube_uv(lp)
+            c_cube = sample_texture(scn.tex_cube, tex_idx, uc, vc)
+            tex_color = Vec3.where(obj_type == BOX, c_cube, tex_color)
+
+        base = Vec3.where(textured, tex_color, base)
+    return Vec3.where(is_tri, tri_color, base)
 
 
 def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
@@ -136,9 +235,9 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     hit = intersect_scene(scn, meta, state.origin, state.direction, eps,
                           cfg.t_max)
     hit_ok = hit.t < cfg.t_max
-    oi = hit.obj_idx
 
-    obj_type = scn.obj_type[oi]
+    # ALL per-object attributes in one MXU one-hot fetch (no gathers)
+    at = _fetch_object_attrs(scn, hit.obj_idx)
 
     position = state.origin + state.direction * hit.t
     eye = -state.direction
@@ -147,21 +246,25 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     local_point = hit.local_origin + hit.local_dir * hit.t
 
     # triangle smooth normal n2*u + n3*v + n1*(1-u-v) (tracer.cl:669) and
-    # per-triangle color, gathered once by winning slot
-    slot = jnp.clip(hit.tri_slot, 0, scn.tri_p1.shape[0] - 1)
-    w1 = 1.0 - hit.tri_u - hit.tri_v
-    tri_normal = (
-        _gather_vec(scn.tri_n2, slot) * hit.tri_u
-        + _gather_vec(scn.tri_n3, slot) * hit.tri_v
-        + _gather_vec(scn.tri_n1, slot) * w1
-    )
-    tri_color = _gather_vec(scn.tri_color, slot)
+    # per-triangle color, gathered once by winning slot; statically elided
+    # for mesh-free scenes
+    if meta.has_groups:
+        slot = jnp.clip(hit.tri_slot, 0, scn.tri_p1.shape[0] - 1)
+        w1 = 1.0 - hit.tri_u - hit.tri_v
+        tri_normal = (
+            _gather_vec(scn.tri_n2, slot) * hit.tri_u
+            + _gather_vec(scn.tri_n3, slot) * hit.tri_v
+            + _gather_vec(scn.tri_n1, slot) * w1
+        )
+        tri_color = _gather_vec(scn.tri_color, slot)
+    else:
+        tri_normal = Vec3.zeros((R,), dt)
+        tri_color = Vec3.zeros((R,), dt)
 
     n_local = _surface_normal(
-        scn, obj_type, local_point, tri_normal, hit.is_tri, oi,
-        scn.min_y[oi], scn.max_y[oi], eps,
+        scn, meta, at, local_point, tri_normal, hit.is_tri, eps,
     )
-    normal = mat_gather_apply_vector(scn.inv_t_affine, oi, n_local).normalized()
+    normal = _mat12_apply_vector(at.inv_t, n_local).normalized()
     # face-forward (tracer.cl:962-964)
     normal = Vec3.where(eye.dot(normal) < 0.0, -normal, normal)
 
@@ -174,8 +277,8 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
         key, (4, R), dtype=jnp.float32
     ).astype(dt)
 
-    refl = scn.reflectivity[oi]
-    refr = scn.refractive_index[oi]
+    refl = at.reflectivity
+    refr = at.refractive_index
 
     # --- material roulette (tracer.cl:982-1061) -----------------------
     do_reflect = (refl != 0.0) & (u_refl < refl)
@@ -217,11 +320,10 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     new_inside = jnp.where(do_refract, outside, state.inside)
     is_refraction = entering | exiting
 
-    color = _surface_color(scn, obj_type, oi, local_point, tri_color,
+    color = _surface_color(scn, meta, at, local_point, tri_color,
                            hit.is_tri)
     zero = jnp.zeros_like(color.x)
-    emission = Vec3.where(hit.is_tri, Vec3(zero, zero, zero),
-                          _gather_vec(scn.emission, oi))
+    emission = Vec3.where(hit.is_tri, Vec3(zero, zero, zero), at.emission)
 
     # --- fold the resolve pass forward (tracer.cl:1116-1176) ----------
     rec = state.alive & hit_ok
@@ -276,10 +378,27 @@ def render_rays(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
         eff=jnp.zeros((R,), dtype=jnp.int32),
     )
 
-    def body(b, s):
-        return bounce_step(scn, meta, cfg, s, jax.random.fold_in(key, b))
+    # early exit once every ray has terminated (hit a light, missed, or
+    # exhausted effective bounces) — the whole-batch analogue of the
+    # reference's per-work-item break (tracer.cl:1107). The fixed-trip
+    # fori_loop variant computes the identical result (dead rays are
+    # masked) and is used for reverse-mode AD (cfg.early_exit=False).
+    if cfg.early_exit:
+        def cond(bs):
+            b, s = bs
+            return (b < cfg.max_bounces) & jnp.any(s.alive)
 
-    state = jax.lax.fori_loop(0, cfg.max_bounces, body, state)
+        def body(bs):
+            b, s = bs
+            return b + 1, bounce_step(scn, meta, cfg, s,
+                                      jax.random.fold_in(key, b))
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    else:
+        def fbody(b, s):
+            return bounce_step(scn, meta, cfg, s, jax.random.fold_in(key, b))
+
+        state = jax.lax.fori_loop(0, cfg.max_bounces, fbody, state)
     return state.accum
 
 

@@ -90,6 +90,13 @@ class SceneMeta:
     n_nodes: int
     n_tri_slots: int
     leaf_size: int
+    # static texture usage: obj type codes (PLANE/SPHERE/BOX) that actually
+    # have textured materials, and whether any plane has a normal map.
+    # The integrator elides ALL texture sampling code for types not listed
+    # (a zero-cost jit specialization the reference's runtime branching,
+    # tracer.cl:1077-1093, cannot do).
+    textured_types: Tuple[int, ...] = ()
+    has_normal_maps: bool = False
 
     @property
     def has_groups(self) -> bool:
@@ -266,6 +273,11 @@ def pack_scene(
         tex_sphere=f(_pack_texture_atlas(sphere_textures, np.float32)),
         tex_cube=f(_pack_texture_atlas(cube_textures, np.float32)),
     )
+    textured_types = sorted(
+        {int(obj_type[i]) for i, s in enumerate(objects)
+         if s.material.textured and obj_type[i] != NONE_TYPE}
+    )
+    has_nm = any(s.material.textured_nm for s in objects)
     meta = SceneMeta(
         n_objects=n,
         max_objects=no,
@@ -275,5 +287,7 @@ def pack_scene(
         n_nodes=int(pool.n_nodes) if not dummy else 0,
         n_tri_slots=int(pool.n_tri_slots),
         leaf_size=leaf_size,
+        textured_types=tuple(textured_types),
+        has_normal_maps=has_nm,
     )
     return arrays, meta
