@@ -5,53 +5,94 @@ Metric: camera samples traced per second (Msamples/s), steady-state
 published wall time, RTX 2080 at 45.43 s for 1280x960 x 2048 spp
 = 2.516G samples => 55.4 Msamples/s.
 
+The reference scene runs on the Pallas TPU megakernel
+(pathtracer_tpu/render/pallas_kernel.py) — the whole sample x bounce loop
+in VMEM, scene in SMEM, on-core PRNG. Set BENCH_BACKEND=wavefront to
+measure the jnp wavefront integrator instead.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
-import sys
 import time
 
 BASELINE_MSPS = 1280 * 960 * 2048 / 45.43 / 1e6  # 55.39 Msamples/s
 
 
-def main():
+def bench_pallas(cfg, sc, arrays, meta, spp):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracer_tpu.render import pallas_kernel as pk
+
+    W, H = cfg.width, cfg.height
+    S, L = 128, 256
+    n_pix = W * H
+    pad = (-n_pix) % (S * L)
+    ids = np.arange(n_pix + pad)
+    px = jnp.asarray((ids % W).astype(np.int32).reshape(-1, L))
+    py = jnp.asarray(np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera.pack(jnp.float32)))
+    obj = jnp.asarray(pk.build_scene_table(arrays, meta))
+
+    def run(seed):
+        r, _, _ = pk.trace_tiles(
+            jnp.asarray([seed], jnp.int32), cam_vec, obj, px, py,
+            meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples,
+            tile=(S, L),
+        )
+        r.block_until_ready()
+
+    run(0)  # compile + warm
+    t0 = time.perf_counter()
+    run(1)
+    return W * H * spp, time.perf_counter() - t0
+
+
+def bench_wavefront(cfg, sc, arrays, meta, spp):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from pathtracer_tpu.config import RenderConfig
-    from pathtracer_tpu.render.camera import Camera
     from pathtracer_tpu.render.integrator import _render_tile_jit
-    from pathtracer_tpu.scene.pack import pack_scene
+
+    W, H = cfg.width, cfg.height
+    spp_chunk = cfg.samples_per_pass
+    n_chunks = spp // spp_chunk
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel(), jnp.int32)
+    py = jnp.asarray(ys.ravel(), jnp.int32)
+
+    # warmup MUST use the same static n_chunks as the timed call
+    out = _render_tile_jit(arrays, meta, cfg, sc.camera.pack(), px, py,
+                           n_chunks, jax.random.PRNGKey(0))
+    out.x.block_until_ready()
+    t0 = time.perf_counter()
+    out = _render_tile_jit(arrays, meta, cfg, sc.camera.pack(), px, py,
+                           n_chunks, jax.random.PRNGKey(1))
+    out.x.block_until_ready()
+    return W * H * n_chunks * spp_chunk, time.perf_counter() - t0
+
+
+def main():
+    from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.scenes import get_scene
 
     width, height = 1280, 960
-    bench_spp = int(os.environ.get("BENCH_SPP", "32"))
-    spp_chunk = 8
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
+    spp = int(os.environ.get("BENCH_SPP", "64" if backend == "pallas"
+                             else "32"))
 
     cfg = RenderConfig(width=width, height=height, samples=2048,
-                       samples_per_pass=spp_chunk)
+                       samples_per_pass=8)
     sc = get_scene("reference", cfg)
-    arrays, meta = pack_scene(sc.objects)
-    cam = sc.camera.pack()
+    arrays, meta = sc.pack()
 
-    ys, xs = np.mgrid[0:height, 0:width]
-    px = jnp.asarray(xs.ravel(), jnp.int32)
-    py = jnp.asarray(ys.ravel(), jnp.int32)
-    n_chunks = bench_spp // spp_chunk
-    key = jax.random.PRNGKey(0)
+    if backend == "pallas":
+        samples, dt = bench_pallas(cfg, sc, arrays, meta, spp)
+    else:
+        samples, dt = bench_wavefront(cfg, sc, arrays, meta, spp)
 
-    # warmup / compile
-    out = _render_tile_jit(arrays, meta, cfg, cam, px, py, 1, key)
-    out.x.block_until_ready()
-
-    t0 = time.perf_counter()
-    out = _render_tile_jit(arrays, meta, cfg, cam, px, py, n_chunks, key)
-    out.x.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    samples = width * height * n_chunks * spp_chunk
     msps = samples / dt / 1e6
     print(json.dumps({
         "metric": "reference_1280x960_Msamples_per_sec",

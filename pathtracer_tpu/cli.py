@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-era flags
     p.add_argument("--dtype", choices=("float32", "float64"),
                    default=_env("dtype", "float32", str))
+    p.add_argument("--backend", choices=("auto", "pallas", "wavefront"),
+                   default=_env("backend", "auto", str),
+                   help="pallas = TPU megakernel (primitive scenes); "
+                        "wavefront = jnp integrator (all scenes)")
     p.add_argument("--samples-per-pass", type=int,
                    default=_env("samples_per_pass", 8, int))
     p.add_argument("--rows-per-pass", type=int,
@@ -113,6 +117,7 @@ def main(argv=None) -> int:
         aperture=args.aperture, focal_length=args.focal_length,
         dtype=args.dtype, samples_per_pass=args.samples_per_pass,
         rows_per_pass=args.rows_per_pass, seed=args.seed,
+        backend=args.backend,
     )
 
     t0 = time.perf_counter()

@@ -47,6 +47,10 @@ class RenderConfig:
     # while_loop, so the differentiable path sets this False (fixed
     # fori_loop over max_bounces — identical results, ~2x slower forward).
     early_exit: bool = True
+    # Compute backend: "auto" picks the Pallas megakernel when the scene
+    # supports it (primitive-only, untextured, f32) and falls back to the
+    # wavefront jnp integrator; "pallas"/"wavefront" force one.
+    backend: str = "auto"
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

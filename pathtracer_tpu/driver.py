@@ -86,6 +86,7 @@ def render_driver(
     import jax
     import jax.numpy as jnp
 
+    from .render import pallas_kernel as pk
     from .render.integrator import render_pass
     from .render.vec3 import Vec3
 
@@ -97,6 +98,16 @@ def render_driver(
     spp_chunk = min(cfg.samples_per_pass, cfg.samples)
     cfg = cfg.replace(samples_per_pass=spp_chunk)
     n_chunks = max(1, (cfg.samples + spp_chunk - 1) // spp_chunk)
+
+    use_pallas = (
+        cfg.backend == "pallas"
+        or (cfg.backend == "auto"
+            and cfg.dtype == "float32"
+            and jax.devices()[0].platform == "tpu"
+            and pk.supports_scene(meta))
+    )
+    log.info("backend: %s", "pallas megakernel" if use_pallas
+             else "wavefront")
 
     accum = np.zeros((H * W, 3), dtype=np.float64)
     start_chunk = 0
@@ -110,7 +121,7 @@ def render_driver(
     py = jnp.asarray(ys.ravel(), jnp.int32)
 
     @jax.jit
-    def segment(c0: jnp.ndarray, n: jnp.ndarray, k) -> Vec3:
+    def segment_wavefront(c0: jnp.ndarray, n: jnp.ndarray, k) -> Vec3:
         """Sum of render passes for global chunks [c0, c0+n)."""
         def body(i, acc):
             c = c0 + i
@@ -125,6 +136,31 @@ def render_driver(
             (jnp.int32(0), init),
         )[1]
 
+    if use_pallas:
+        S, L = 128, 256
+        n_pix = W * H
+        pad = (-n_pix) % (S * L)
+        ids = np.arange(n_pix + pad)
+        px2 = jnp.asarray((ids % W).astype(np.int32).reshape(-1, L))
+        py2 = jnp.asarray(
+            np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
+        cam_vec = jnp.asarray(pk.build_camera_vec(cam))
+        obj_table = jnp.asarray(pk.build_scene_table(scn, meta))
+
+        def segment(c0: int, n: int, k) -> Vec3:
+            # independent PRNG stream per segment, derived from (seed, c0)
+            seed = jnp.asarray([cfg.seed * 7919 + int(c0) + 1], jnp.int32)
+            r, g, b = pk.trace_tiles(
+                seed, cam_vec, obj_table, px2, py2,
+                meta=meta, cfg=cfg, spp=int(n) * spp_chunk,
+                total_samples=cfg.samples, tile=(S, L),
+            )
+            flat = lambda a: a.reshape(-1)[:n_pix]
+            return Vec3(flat(r), flat(g), flat(b))
+    else:
+        def segment(c0: int, n: int, k) -> Vec3:
+            return segment_wavefront(jnp.int32(c0), jnp.int32(n), k)
+
     seg_len = checkpoint_every if checkpoint_every > 0 else n_chunks
     stats = RenderStats()
     t_total = time.perf_counter()
@@ -136,7 +172,7 @@ def render_driver(
         while c < n_chunks:
             n = min(seg_len, n_chunks - c)
             t0 = time.perf_counter()
-            out = segment(jnp.int32(c), jnp.int32(n), key)
+            out = segment(c, n, key)
             out.x.block_until_ready()
             dt = time.perf_counter() - t0
             seg_np = np.stack(

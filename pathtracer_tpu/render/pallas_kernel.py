@@ -1,0 +1,646 @@
+"""Pallas TPU megakernel: the full per-pixel path tracer in one kernel.
+
+TPU-native re-design of the reference's OpenCL megakernel `trace`
+(internal/ocl/tracer.cl:831-1188). One kernel launch traces a TILE of rays
+through the whole sample loop x bounce loop entirely in VMEM/registers:
+
+- scene object tables live in SMEM (the analogue of the reference copying
+  objects into __local memory, tracer.cl:846-849)
+- the object loop is a static Python unroll, so every inverse-transform
+  element is a compile-time-scheduled scalar broadcast (no gathers)
+- RNG is the on-core PRNG (pltpu.prng_random_bits), seeded per tile —
+  replacing both the host seed buffer (ocltracer.go:260-263) and the
+  threefry streams of the wavefront path (same estimator, different
+  uniforms)
+- the bounce loop early-exits per tile once every ray has died, mirroring
+  the reference's per-work-item break (tracer.cl:1107) at tile granularity
+
+Covers scenes of plane/sphere/cylinder/box primitives with untextured
+materials (all roulette branches: reflect / thin-shell / refract / diffuse).
+Scenes with triangle meshes (BVH) or textures fall back to the wavefront
+integrator (integrator.py); `supports_scene` decides.
+
+Numerics are float32 like the wavefront path; estimator parity is verified
+statistically in tests/test_pallas.py (same mean image, independent noise).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..scene.pack import SceneArrays, SceneMeta
+from ..scene.shapes import BOX, CYLINDER, PLANE, SPHERE
+
+# SMEM object-table column layout (per object row):
+#   0-11  inverse (3x4 row-major)
+#   12-23 inverse-transpose (3x4 row-major)
+#   24-26 color rgb
+#   27-29 emission rgb
+#   30    refractive index
+#   31    reflectivity
+#   32    min_y
+#   33    max_y
+_OBJ_COLS = 34
+
+# SMEM camera vector layout:
+#   0-11 inverse (3x4 row-major), 12 pixel_size, 13 half_width,
+#   14 half_height, 15 aperture, 16 focal_length
+_CAM_COLS = 17
+
+_BIG = 1e30
+_INV24 = float(2.0 ** -24)
+
+
+def supports_scene(meta: SceneMeta, scn: SceneArrays = None) -> bool:
+    """Megakernel coverage: primitive-only untextured scenes."""
+    prim = all(t in (PLANE, SPHERE, CYLINDER, BOX) for t in meta.obj_types)
+    return prim and not meta.has_groups and not meta.textured_types \
+        and not meta.has_normal_maps
+
+
+def build_scene_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
+    """[No, _OBJ_COLS] float32 host-side table for SMEM."""
+    n = meta.n_objects
+    out = np.zeros((n, _OBJ_COLS), dtype=np.float32)
+    inv = np.asarray(scn.inverse, dtype=np.float32)
+    invt = np.asarray(scn.inverse_transpose, dtype=np.float32)
+    out[:, 0:12] = inv[:n, :3, :].reshape(n, 12)
+    out[:, 12:24] = invt[:n, :3, :].reshape(n, 12)
+    out[:, 24:27] = np.asarray(scn.color)[:n]
+    out[:, 27:30] = np.asarray(scn.emission)[:n]
+    out[:, 30] = np.asarray(scn.refractive_index)[:n]
+    out[:, 31] = np.asarray(scn.reflectivity)[:n]
+    out[:, 32] = np.asarray(scn.min_y)[:n]
+    out[:, 33] = np.asarray(scn.max_y)[:n]
+    return out
+
+
+def build_camera_vec(cam) -> np.ndarray:
+    out = np.zeros((_CAM_COLS,), dtype=np.float32)
+    inv = np.asarray(cam.inverse, dtype=np.float32)
+    out[0:12] = inv[:3, :].reshape(12)
+    out[12] = float(cam.pixel_size)
+    out[13] = float(cam.half_width)
+    out[14] = float(cam.half_height)
+    out[15] = float(cam.aperture)
+    out[16] = float(cam.focal_length)
+    return out
+
+
+def _uniform(shape):
+    """f32 uniforms in [0,1) from the on-core PRNG.
+
+    prng_random_bits returns int32 — bitcast to uint32 before the shift or
+    the arithmetic shift smears the sign bit ([-0.5, 0.5) uniforms)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # logical shift in uint32, then back to int32 for the f32 cast
+    # (Mosaic has no uint32->float32 cast; values < 2^24 are exact in i32)
+    top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return top24.astype(jnp.float32) * _INV24
+
+
+def _mat12_point(m, x, y, z):
+    """(12 scalars) 3x4 matrix x point."""
+    return (
+        m[0] * x + m[1] * y + m[2] * z + m[3],
+        m[4] * x + m[5] * y + m[6] * z + m[7],
+        m[8] * x + m[9] * y + m[10] * z + m[11],
+    )
+
+
+def _mat12_vec(m, x, y, z):
+    return (
+        m[0] * x + m[1] * y + m[2] * z,
+        m[4] * x + m[5] * y + m[6] * z,
+        m[8] * x + m[9] * y + m[10] * z,
+    )
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _axis_slab(o, d, mn, mx, eps):
+    use = jnp.abs(d) >= eps
+    d_safe = jnp.where(use, d, 1.0)
+    t1 = jnp.where(use, (mn - o) / d_safe, (mn - o) * _BIG)
+    t2 = jnp.where(use, (mx - o) / d_safe, (mx - o) * _BIG)
+    return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+
+def _plane_t(oy, dy, eps):
+    ok = jnp.abs(dy) > eps
+    t = -oy / jnp.where(ok, dy, 1.0)
+    return jnp.where(ok & (t > eps), t, _BIG)
+
+
+def _sphere_t(ox, oy, oz, dx, dy, dz, eps):
+    """Geometric foot-point form (see intersect.py:_sphere_t for why)."""
+    a = dx * dx + dy * dy + dz * dz
+    t_mid = -(ox * dx + oy * dy + oz * dz) / a
+    mx = ox + dx * t_mid
+    my = oy + dy * t_mid
+    mz = oz + dz * t_mid
+    perp2 = mx * mx + my * my + mz * mz
+    ok = perp2 < 1.0
+    dt = jnp.sqrt(jnp.where(ok, (1.0 - perp2) / a, 0.0))
+    t1 = t_mid - dt
+    t2 = t_mid + dt
+    return jnp.minimum(
+        jnp.where(ok & (t1 > eps), t1, _BIG),
+        jnp.where(ok & (t2 > eps), t2, _BIG),
+    )
+
+
+def _cylinder_t(ox, oy, oz, dx, dy, dz, min_y, max_y, eps):
+    a = dx * dx + dz * dz
+    ok_a = jnp.abs(a) >= eps
+    a_safe = jnp.where(ok_a, a, 1.0)
+    t_mid = -(ox * dx + oz * dz) / a_safe
+    mx = ox + dx * t_mid
+    mz = oz + dz * t_mid
+    perp2 = mx * mx + mz * mz
+    ok = ok_a & (perp2 <= 1.0)
+    dt = jnp.sqrt(jnp.where(ok, (1.0 - perp2) / a_safe, 0.0))
+    t0 = t_mid - dt
+    t1 = t_mid + dt
+    y0 = oy + t0 * dy
+    y1 = oy + t1 * dy
+    v0 = ok & (y0 > min_y) & (y0 < max_y) & (t0 > eps)
+    v1 = ok & (y1 > min_y) & (y1 < max_y) & (t1 > eps)
+    return jnp.minimum(jnp.where(v0, t0, _BIG), jnp.where(v1, t1, _BIG))
+
+
+def _box_t(ox, oy, oz, dx, dy, dz, eps):
+    x1, x2 = _axis_slab(ox, dx, -1.0, 1.0, eps)
+    y1, y2 = _axis_slab(oy, dy, -1.0, 1.0, eps)
+    z1, z2 = _axis_slab(oz, dz, -1.0, 1.0, eps)
+    tmin = jnp.maximum(jnp.maximum(x1, y1), z1)
+    tmax = jnp.minimum(jnp.minimum(x2, y2), z2)
+    ok = tmin <= tmax
+    return jnp.minimum(
+        jnp.where(ok & (tmin > eps), tmin, _BIG),
+        jnp.where(ok & (tmax > eps), tmax, _BIG),
+    )
+
+
+def _schlick(cx, cy, cz, nx, ny, nz, n1, n2):
+    """tracer.cl:485-505 with scalar-or-vector n1/n2."""
+    cos = _dot(cx, cy, cz, nx, ny, nz)
+    n = n1 / n2
+    sin2t = (n * n) * (1.0 - cos * cos)
+    tir = (n1 > n2) & (sin2t > 1.0)
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2t, 0.0, None))
+    cos_eff = jnp.where(n1 > n2, cos_t, cos)
+    temp = (n1 - n2) / (n1 + n2)
+    r0 = temp * temp
+    m = 1.0 - cos_eff
+    m2 = m * m
+    res = r0 + (1.0 - r0) * (m2 * m2 * m)
+    return jnp.where(tir, 1.0, res)
+
+
+def _refract(cx, cy, cz, nx, ny, nz, n1, n2):
+    cos_i = _dot(cx, cy, cz, nx, ny, nz)
+    ratio = n1 / n2
+    sin2t = (ratio * ratio) * (1.0 - cos_i * cos_i)
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2t, 0.0, None))
+    k = ratio * cos_i - cos_t
+    ok = sin2t <= 1.0
+    return (
+        jnp.where(ok, nx * k - cx * ratio, 0.0),
+        jnp.where(ok, ny * k - cy * ratio, 0.0),
+        jnp.where(ok, nz * k - cz * ratio, 0.0),
+    )
+
+
+def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
+                 total_samples: int, tile: Tuple[int, int]):
+    """Build the tile kernel body closed over static scene structure."""
+    obj_types = meta.obj_types
+    eps = cfg.epsilon
+    t_max = cfg.t_max
+    max_b = cfg.max_bounces
+    max_eff = cfg.max_effective_bounces
+    golden2 = ((math.sqrt(5.0) + 1.0) / 2.0) ** 2
+    sun_n = float(total_samples)
+    sun_b = round(2.0 * math.sqrt(sun_n))  # sunflower boundary count
+
+    def kernel(seed_ref, cam_ref, obj_ref, px_ref, py_ref,
+               out_r, out_g, out_b):
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+        fx = px_ref[...].astype(jnp.float32)
+        fy = py_ref[...].astype(jnp.float32)
+        shape = fx.shape
+
+        cam = [cam_ref[k] for k in range(12)]
+        pixel_size = cam_ref[12]
+        half_w = cam_ref[13]
+        half_h = cam_ref[14]
+        aperture = cam_ref[15]
+        focal = cam_ref[16]
+        has_dof = aperture != 0.0
+
+        acc_r = jnp.zeros(shape, jnp.float32)
+        acc_g = jnp.zeros(shape, jnp.float32)
+        acc_b = jnp.zeros(shape, jnp.float32)
+
+        def sample_body(n, acc):
+            acc_r, acc_g, acc_b = acc
+            # --- rayForPixel (tracer.cl:745-779) -----------------------
+            jx = _uniform(shape)
+            jy = _uniform(shape)
+            x_off = pixel_size * (fx + jx)
+            y_off = pixel_size * (fy + jy)
+            vx = half_w - x_off
+            vy = half_h - y_off
+            vz = jnp.full(shape, -1.0, jnp.float32)
+            pxw, pyw, pzw = _mat12_point(cam, vx, vy, vz)
+            zero = jnp.zeros(shape, jnp.float32)
+            oxw, oyw, ozw = _mat12_point(cam, zero, zero, zero)
+            dx, dy, dz = _normalize(pxw - oxw, pyw - oyw, pzw - ozw)
+
+            # DoF via sunflower(totalSamples, alpha=2, n) (tracer.cl:762-776)
+            nf = n.astype(jnp.float32)
+            r_sun = jnp.where(
+                nf <= (sun_n - sun_b),
+                jnp.sqrt(jnp.maximum(nf - 0.5, 0.0))
+                / math.sqrt(max(sun_n - (sun_b + 1.0) / 2.0, 1e-9)),
+                1.0,
+            )
+            theta = 2.0 * math.pi * nf / golden2
+            sun_x = r_sun * jnp.cos(theta)
+            sun_y = r_sun * jnp.sin(theta)
+            fpx = oxw + dx * focal
+            fpy = oyw + dy * focal
+            fpz = ozw + dz * focal
+            dox = oxw + sun_y * aperture   # reference swaps x/y
+            doy = oyw + sun_x * aperture
+            ox = jnp.where(has_dof, dox, oxw)
+            oy = jnp.where(has_dof, doy, oyw)
+            oz = ozw
+            dx = jnp.where(has_dof, fpx - dox, dx)
+            dy = jnp.where(has_dof, fpy - doy, dy)
+            dz = jnp.where(has_dof, fpz - oz, dz)
+
+            mask_r = jnp.ones(shape, jnp.float32)
+            mask_g = jnp.ones(shape, jnp.float32)
+            mask_b = jnp.ones(shape, jnp.float32)
+            srr = jnp.zeros(shape, jnp.float32)
+            srg = jnp.zeros(shape, jnp.float32)
+            srb = jnp.zeros(shape, jnp.float32)
+            # alive/inside carried as i32: Mosaic cannot lower selects
+            # between 1-bit (bool) vectors ("Unsupported target bitwidth
+            # for truncation")
+            alive_i = jnp.ones(shape, jnp.int32)
+            inside_i = jnp.zeros(shape, jnp.int32)
+            n_hits = jnp.zeros(shape, jnp.int32)
+            eff = jnp.zeros(shape, jnp.int32)
+
+            def bounce_cond(st):
+                b = st[0]
+                alive_i = st[7]
+                return (b < max_b) & (jnp.max(alive_i) > 0)
+
+            def bounce_body(st):
+                (b, ox, oy, oz, dx, dy, dz, alive_i, inside_i, n_hits, eff,
+                 mask_r, mask_g, mask_b, srr, srg, srb) = st
+                alive = alive_i > 0
+                inside = inside_i > 0
+
+                # ---- intersect: static unroll over objects ------------
+                best_t = jnp.full(shape, _BIG, jnp.float32)
+                l_ox = ox; l_oy = oy; l_oz = oz
+                l_dx = dx; l_dy = dy; l_dz = dz
+                col_r = jnp.zeros(shape, jnp.float32)
+                col_g = jnp.zeros(shape, jnp.float32)
+                col_b = jnp.zeros(shape, jnp.float32)
+                emi_r = jnp.zeros(shape, jnp.float32)
+                refl = jnp.zeros(shape, jnp.float32)
+                refr = jnp.ones(shape, jnp.float32)
+                invt = [jnp.zeros(shape, jnp.float32)] * 12
+                w_type = jnp.full(shape, -1, jnp.int32)
+                w_min_y = jnp.zeros(shape, jnp.float32)
+                w_max_y = jnp.zeros(shape, jnp.float32)
+                emi_g = jnp.zeros(shape, jnp.float32)
+                emi_b = jnp.zeros(shape, jnp.float32)
+
+                for j, code in enumerate(obj_types):
+                    m = [obj_ref[j, k] for k in range(12)]
+                    tox, toy, toz = _mat12_point(m, ox, oy, oz)
+                    tdx, tdy, tdz = _mat12_vec(m, dx, dy, dz)
+                    if code == PLANE:
+                        t_j = _plane_t(toy, tdy, eps)
+                    elif code == SPHERE:
+                        t_j = _sphere_t(tox, toy, toz, tdx, tdy, tdz, eps)
+                    elif code == CYLINDER:
+                        t_j = _cylinder_t(tox, toy, toz, tdx, tdy, tdz,
+                                          obj_ref[j, 32], obj_ref[j, 33],
+                                          eps)
+                    else:  # BOX
+                        t_j = _box_t(tox, toy, toz, tdx, tdy, tdz, eps)
+
+                    closer = t_j < best_t
+                    best_t = jnp.where(closer, t_j, best_t)
+                    l_ox = jnp.where(closer, tox, l_ox)
+                    l_oy = jnp.where(closer, toy, l_oy)
+                    l_oz = jnp.where(closer, toz, l_oz)
+                    l_dx = jnp.where(closer, tdx, l_dx)
+                    l_dy = jnp.where(closer, tdy, l_dy)
+                    l_dz = jnp.where(closer, tdz, l_dz)
+                    col_r = jnp.where(closer, obj_ref[j, 24], col_r)
+                    col_g = jnp.where(closer, obj_ref[j, 25], col_g)
+                    col_b = jnp.where(closer, obj_ref[j, 26], col_b)
+                    emi_r = jnp.where(closer, obj_ref[j, 27], emi_r)
+                    emi_g = jnp.where(closer, obj_ref[j, 28], emi_g)
+                    emi_b = jnp.where(closer, obj_ref[j, 29], emi_b)
+                    refr = jnp.where(closer, obj_ref[j, 30], refr)
+                    refl = jnp.where(closer, obj_ref[j, 31], refl)
+                    w_min_y = jnp.where(closer, obj_ref[j, 32], w_min_y)
+                    w_max_y = jnp.where(closer, obj_ref[j, 33], w_max_y)
+                    invt = [jnp.where(closer, obj_ref[j, 12 + k], invt[k])
+                            for k in range(12)]
+                    w_type = jnp.where(closer, code, w_type)
+
+                hit_ok = best_t < t_max
+                t = jnp.minimum(best_t, t_max)
+
+                # ---- surface normal by type (tracer.cl:903-950) -------
+                lx = l_ox + l_dx * t
+                ly = l_oy + l_dy * t
+                lz = l_oz + l_dz * t
+                one = jnp.ones(shape, jnp.float32)
+                zero = jnp.zeros(shape, jnp.float32)
+                # cylinder incl. caps
+                dist = lx * lx + lz * lz
+                top = (dist < 1.0) & (ly >= w_max_y - eps)
+                bot = (dist < 1.0) & (ly <= w_min_y + eps)
+                cyl_nx = jnp.where(top | bot, zero, lx)
+                cyl_ny = jnp.where(top, one, jnp.where(bot, -one, zero))
+                cyl_nz = jnp.where(top | bot, zero, lz)
+                # box: dominant axis
+                ax = jnp.abs(lx); ay = jnp.abs(ly); az = jnp.abs(lz)
+                maxc = jnp.maximum(jnp.maximum(ax, ay), az)
+                sel_x = maxc == ax
+                sel_y = (~sel_x) & (maxc == ay)
+                box_nx = jnp.where(sel_x, lx, zero)
+                box_ny = jnp.where(sel_y, ly, zero)
+                box_nz = jnp.where(sel_x | sel_y, zero, lz)
+
+                is_plane = w_type == PLANE
+                is_cyl = w_type == CYLINDER
+                is_box = w_type == BOX
+                nlx = jnp.where(is_plane, zero,
+                      jnp.where(is_cyl, cyl_nx,
+                      jnp.where(is_box, box_nx, lx)))
+                nly = jnp.where(is_plane, one,
+                      jnp.where(is_cyl, cyl_ny,
+                      jnp.where(is_box, box_ny, ly)))
+                nlz = jnp.where(is_plane, zero,
+                      jnp.where(is_cyl, cyl_nz,
+                      jnp.where(is_box, box_nz, lz)))
+                nx, ny, nz = _mat12_vec(invt, nlx, nly, nlz)
+                nx, ny, nz = _normalize(nx, ny, nz)
+                # face-forward
+                ex, ey, ez = -dx, -dy, -dz
+                flip = _dot(ex, ey, ez, nx, ny, nz) < 0.0
+                nx = jnp.where(flip, -nx, nx)
+                ny = jnp.where(flip, -ny, ny)
+                nz = jnp.where(flip, -nz, nz)
+
+                # ---- material roulette (tracer.cl:982-1061) -----------
+                u_refl = _uniform(shape)
+                u_schl = _uniform(shape)
+                u1 = _uniform(shape)
+                u2 = _uniform(shape)
+
+                wx = ox + dx * t
+                wy = oy + dy * t
+                wz = oz + dz * t
+                over_x = wx + nx * eps
+                over_y = wy + ny * eps
+                over_z = wz + nz * eps
+                under_x = wx - nx * eps
+                under_y = wy - ny * eps
+                under_z = wz - nz * eps
+
+                do_reflect = (refl != 0.0) & (u_refl < refl)
+                thin = (~do_reflect) & (refr == -1.0)
+                sch_thin = _schlick(ex, ey, ez, nx, ny, nz,
+                                    jnp.float32(1.0), jnp.float32(1.5))
+                thin_pass = thin & (sch_thin < u_schl)
+                thin_reflect = thin & ~(sch_thin < u_schl)
+
+                solid = (~do_reflect) & (~thin) & (refr != 1.0)
+                outside = ~inside
+                sch = jnp.where(
+                    outside,
+                    _schlick(ex, ey, ez, nx, ny, nz, jnp.float32(1.0), refr),
+                    _schlick(ex, ey, ez, nx, ny, nz, refr, jnp.float32(1.0)),
+                )
+                do_refract = solid & (sch < u_schl)
+                rf_o = _refract(ex, ey, ez, nx, ny, nz, jnp.float32(1.0), refr)
+                rf_i = _refract(ex, ey, ez, nx, ny, nz, refr, jnp.float32(1.0))
+                rfx = jnp.where(outside, rf_o[0], rf_i[0])
+                rfy = jnp.where(outside, rf_o[1], rf_i[1])
+                rfz = jnp.where(outside, rf_o[2], rf_i[2])
+                solid_reflect = solid & ~do_refract
+                diffuse = (~do_reflect) & (~thin) & (~solid)
+
+                # cosine-weighted hemisphere (tracer.cl:348-366)
+                rand1 = 2.0 * math.pi * u1
+                rand2s = jnp.sqrt(u2)
+                pick = jnp.abs(nx) > 0.1
+                axx = jnp.where(pick, zero, one)
+                axy = jnp.where(pick, one, zero)
+                # u = axis x n, normalized
+                ux = axy * nz
+                uy = -(axx * nz)
+                uz = axx * ny - axy * nx
+                ux, uy, uz = _normalize(ux, uy, uz)
+                # v = n x u
+                vx2 = ny * uz - nz * uy
+                vy2 = nz * ux - nx * uz
+                vz2 = nx * uy - ny * ux
+                cu = jnp.cos(rand1) * rand2s
+                cv = jnp.sin(rand1) * rand2s
+                cn = jnp.sqrt(1.0 - u2)
+                hx = ux * cu + vx2 * cv + nx * cn
+                hy = uy * cu + vy2 * cv + ny * cn
+                hz = uz * cu + vz2 * cv + nz * cn
+
+                ddn = 2.0 * _dot(dx, dy, dz, nx, ny, nz)
+                rx = dx - nx * ddn
+                ry = dy - ny * ddn
+                rz = dz - nz * ddn
+
+                any_reflect = do_reflect | thin_reflect | solid_reflect
+                ndx = jnp.where(any_reflect, rx,
+                      jnp.where(thin_pass, dx,
+                      jnp.where(do_refract, rfx, hx)))
+                ndy = jnp.where(any_reflect, ry,
+                      jnp.where(thin_pass, dy,
+                      jnp.where(do_refract, rfy, hy)))
+                ndz = jnp.where(any_reflect, rz,
+                      jnp.where(thin_pass, dz,
+                      jnp.where(do_refract, rfz, hz)))
+                cos = jnp.where(diffuse,
+                                _dot(hx, hy, hz, nx, ny, nz), 1.0)
+                go_under = thin_pass | do_refract
+                nox = jnp.where(go_under, under_x, over_x)
+                noy = jnp.where(go_under, under_y, over_y)
+                noz = jnp.where(go_under, under_z, over_z)
+
+                entering = do_refract & outside
+                exiting = do_refract & inside
+                new_inside_i = jnp.where(
+                    do_refract, outside.astype(jnp.int32), inside_i)
+                is_refraction = entering | exiting
+
+                # ---- fold resolve forward (tracer.cl:1116-1176) -------
+                rec = alive & hit_ok
+                no_refr = rec & ~is_refraction
+                is_light = emi_r > 0.0
+
+                srr = srr + jnp.where(no_refr, mask_r * emi_r, 0.0)
+                srg = srg + jnp.where(no_refr, mask_g * emi_g, 0.0)
+                srb = srb + jnp.where(no_refr, mask_b * emi_b, 0.0)
+                direct = no_refr & is_light & (n_hits == 0)
+                srr = jnp.where(direct, col_r, srr)
+                srg = jnp.where(direct, col_g, srg)
+                srb = jnp.where(direct, col_b, srb)
+                upd = no_refr & ~is_light
+                mask_r = jnp.where(upd, mask_r * col_r * cos, mask_r)
+                mask_g = jnp.where(upd, mask_g * col_g * cos, mask_g)
+                mask_b = jnp.where(upd, mask_b * col_b * cos, mask_b)
+
+                eff = eff + jnp.where(
+                    rec & ~is_refraction & ~any_reflect, 1, 0)
+                n_hits = n_hits + rec.astype(jnp.int32)
+                alive_i = (
+                    alive & hit_ok & ~(rec & is_light) & (eff < max_eff)
+                ).astype(jnp.int32)
+
+                ox = jnp.where(rec, nox, ox)
+                oy = jnp.where(rec, noy, oy)
+                oz = jnp.where(rec, noz, oz)
+                dx = jnp.where(rec, ndx, dx)
+                dy = jnp.where(rec, ndy, dy)
+                dz = jnp.where(rec, ndz, dz)
+                inside_i = jnp.where(rec, new_inside_i, inside_i)
+
+                return (b + 1, ox, oy, oz, dx, dy, dz, alive_i, inside_i,
+                        n_hits, eff, mask_r, mask_g, mask_b, srr, srg, srb)
+
+            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz, alive_i, inside_i,
+                  n_hits, eff, mask_r, mask_g, mask_b, srr, srg, srb)
+            st = jax.lax.while_loop(bounce_cond, bounce_body, st)
+            return (acc_r + st[14], acc_g + st[15], acc_b + st[16])
+
+        acc_r, acc_g, acc_b = jax.lax.fori_loop(
+            0, spp, sample_body, (acc_r, acc_g, acc_b))
+
+        out_r[...] = acc_r
+        out_g[...] = acc_g
+        out_b[...] = acc_b
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "cfg", "spp", "total_samples", "tile",
+                     "interpret"),
+)
+def trace_tiles(
+    seed: jnp.ndarray,          # i32 scalar-like [1]
+    cam_vec: jnp.ndarray,       # [_CAM_COLS] f32
+    obj_table: jnp.ndarray,     # [No, _OBJ_COLS] f32
+    px: jnp.ndarray,            # [T*S, L] i32
+    py: jnp.ndarray,
+    meta: SceneMeta = None,
+    cfg: RenderConfig = None,
+    spp: int = 1,
+    total_samples: int = 1,
+    tile: Tuple[int, int] = (128, 256),
+    interpret: bool = False,
+):
+    """Run the megakernel over all tiles; returns (r, g, b) sums [T*S, L]."""
+    S, L = tile
+    n_tiles = px.shape[0] // S
+    kernel = _make_kernel(meta, cfg, spp, total_samples, tile)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,   # seed
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # cam
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # objects
+            pl.BlockSpec((S, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),              # px
+            pl.BlockSpec((S, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),              # py
+        ],
+        out_specs=[
+            pl.BlockSpec((S, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct(px.shape, jnp.float32)] * 3
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,  # CPU testing (tests/test_pallas.py)
+    )(seed, cam_vec, obj_table, px, py)
+
+
+def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
+                  seed: int = None, interpret: bool = False,
+                  tile: Tuple[int, int] = None) -> np.ndarray:
+    """Full-image render via the megakernel. Returns [H, W, 3] float32."""
+    assert supports_scene(meta), "scene not supported by the megakernel"
+    W, H = camera.width, camera.height
+    S, L = tile if tile is not None else (128, 256)
+    tile_sz = S * L
+
+    n_pix = W * H
+    pad = (-n_pix) % tile_sz
+    ids = np.arange(n_pix + pad)
+    xs = (ids % W).astype(np.int32)
+    ys = np.minimum(ids // W, H - 1).astype(np.int32)
+    rows = (n_pix + pad) // L
+
+    px = jnp.asarray(xs.reshape(rows, L))
+    py = jnp.asarray(ys.reshape(rows, L))
+    cam_vec = jnp.asarray(build_camera_vec(camera.pack(jnp.float32)))
+    obj_table = jnp.asarray(build_scene_table(scn, meta))
+
+    spp = cfg.samples
+    r, g, b = trace_tiles(
+        jnp.asarray([seed if seed is not None else cfg.seed], jnp.int32),
+        cam_vec, obj_table, px, py,
+        meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples, tile=(S, L),
+        interpret=interpret,
+    )
+    img = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    img = img.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
+    return img / float(cfg.samples)
