@@ -162,32 +162,70 @@ def _build_tree(bb_min, bb_max, centroids, ids, leaf_size) -> _Node:
     return node
 
 
-def build_bvh(
-    triangles: List[Triangle],
-    leaf_size: int = 8,
-    into: Optional[FlatBVH] = None,
-) -> Tuple[FlatBVH, int, int]:
-    """Build a skip-link BVH over ``triangles``, appending to the global
-    pool ``into`` if given. Returns (pool, root_index, end_index)."""
-    p1 = np.stack([t.p1[:3] for t in triangles])
-    p2 = np.stack([t.p2[:3] for t in triangles])
-    p3 = np.stack([t.p3[:3] for t in triangles])
-    bb_min = np.minimum(np.minimum(p1, p2), p3)
-    bb_max = np.maximum(np.maximum(p1, p2), p3)
-    centroids = (p1 + p2 + p3) / 3.0
+def _emit_python(bb_min, bb_max, centroids, n_tris: int, leaf_size: int):
+    """Pure-Python DFS emit. Returns local-indexed arrays + slot tri ids
+    (-1 padding) — the same contract as native.build_bvh."""
+    root = _build_tree(bb_min, bb_max, centroids, np.arange(n_tris),
+                       leaf_size)
 
-    root = _build_tree(bb_min, bb_max, centroids, np.arange(len(triangles)), leaf_size)
-
-    # DFS emit with skip links; leaf triangle slots padded to leaf_size.
     rec_bb_min: List[np.ndarray] = []
     rec_bb_max: List[np.ndarray] = []
     rec_start: List[int] = []
     rec_leaf: List[int] = []
     rec_exit: List[int] = []
-    slot_tris: List[Optional[Triangle]] = []
+    slots: List[int] = []
+
+    def emit(n: _Node) -> None:
+        my = len(rec_bb_min)
+        rec_bb_min.append(n.bb_min)
+        rec_bb_max.append(n.bb_max)
+        rec_exit.append(0)  # fixed after the subtree is emitted
+        if n.tri_ids is not None:
+            rec_leaf.append(1)
+            rec_start.append(len(slots))
+            slots.extend(int(t) for t in n.tri_ids)
+            slots.extend([-1] * (leaf_size - len(n.tri_ids)))
+        else:
+            rec_leaf.append(0)
+            rec_start.append(0)
+            emit(n.left)
+            emit(n.right)
+        # skip link: first node after this node's entire subtree
+        rec_exit[my] = len(rec_bb_min)
+
+    emit(root)
+    return (np.stack(rec_bb_min), np.stack(rec_bb_max),
+            np.asarray(rec_start, dtype=np.int32),
+            np.asarray(rec_leaf, dtype=np.int32),
+            np.asarray(rec_exit, dtype=np.int32),
+            np.asarray(slots, dtype=np.int32))
+
+
+def build_bvh_arrays(
+    p1: np.ndarray, p2: np.ndarray, p3: np.ndarray,
+    n1: np.ndarray, n2: np.ndarray, n3: np.ndarray,
+    color: np.ndarray,
+    leaf_size: int = 8,
+    into: Optional[FlatBVH] = None,
+) -> Tuple[FlatBVH, int, int]:
+    """Build a skip-link BVH over triangle-soup arrays ([N,3] each),
+    appending to the global pool ``into``. Uses the native scene-core
+    (native/scenecore.cpp) when built, identical pure-NumPy path
+    otherwise. Returns (pool, root_index, end_index)."""
+    from .. import native
 
     node_base = into.n_nodes if into is not None else 0
     slot_base = into.n_tri_slots if into is not None else 0
+
+    if native.available():
+        bmin, bmax, start, leaf, exit_, slots = native.build_bvh(
+            p1, p2, p3, leaf_size)
+    else:
+        tb_min = np.minimum(np.minimum(p1, p2), p3)
+        tb_max = np.maximum(np.maximum(p1, p2), p3)
+        centroids = (p1 + p2 + p3) / 3.0
+        bmin, bmax, start, leaf, exit_, slots = _emit_python(
+            tb_min, tb_max, centroids, p1.shape[0], leaf_size)
 
     # Inflate node boxes slightly: axis-flat geometry (e.g. a wall of
     # coplanar triangles) yields zero-extent boxes that fail the strict
@@ -195,57 +233,63 @@ def build_bvh(
     # (tracer.cl:605-606 "BB must have extent in all 3-axises"); padding
     # the boxes at build time fixes it with no traversal cost.
     pad = 1e-4
+    bmin = bmin - pad
+    bmax = bmax + pad
+    # rebase local indices into the global pool
+    start = np.where(leaf == 1, start + slot_base, start).astype(np.int32)
+    exit_ = (exit_ + node_base).astype(np.int32)
 
-    def emit(n: _Node) -> None:
-        my = len(rec_bb_min)
-        rec_bb_min.append(n.bb_min - pad)
-        rec_bb_max.append(n.bb_max + pad)
-        rec_exit.append(0)  # fixed after the subtree is emitted
-        if n.tri_ids is not None:
-            rec_leaf.append(1)
-            rec_start.append(slot_base + len(slot_tris))
-            for tid in n.tri_ids:
-                slot_tris.append(triangles[int(tid)])
-            # degenerate padding
-            slot_tris.extend([None] * (leaf_size - len(n.tri_ids)))
-        else:
-            rec_leaf.append(0)
-            rec_start.append(0)
-            emit(n.left)
-            emit(n.right)
-        # skip link: first node after this node's entire subtree
-        rec_exit[my] = node_base + len(rec_bb_min)
+    # gather slot fields; padding slots (-1) become degenerate all-zero
+    # triangles that can never pass the Möller–Trumbore determinant test
+    valid = slots >= 0
+    idx = np.clip(slots, 0, None)
 
-    emit(root)
-
-    def tri_field(getter, default):
-        out = np.zeros((len(slot_tris), 3), dtype=np.float64)
-        for i, t in enumerate(slot_tris):
-            if t is not None:
-                out[i] = getter(t)[:3]
-            else:
-                out[i] = default
+    def g(a: np.ndarray) -> np.ndarray:
+        out = a[idx]
+        out[~valid] = 0.0
         return out
 
+    gp1 = g(p1)
     new = FlatBVH(
-        node_bb_min=np.stack(rec_bb_min),
-        node_bb_max=np.stack(rec_bb_max),
-        node_tri_start=np.asarray(rec_start, dtype=np.int32),
-        node_is_leaf=np.asarray(rec_leaf, dtype=np.int32),
-        node_exit=np.asarray(rec_exit, dtype=np.int32),
-        tri_p1=tri_field(lambda t: t.p1, 0.0),
-        tri_e1=tri_field(lambda t: t.e1, 0.0),
-        tri_e2=tri_field(lambda t: t.e2, 0.0),
-        tri_n1=tri_field(lambda t: t.n1, 0.0),
-        tri_n2=tri_field(lambda t: t.n2, 0.0),
-        tri_n3=tri_field(lambda t: t.n3, 0.0),
-        tri_color=tri_field(lambda t: np.asarray(t.material.color), 0.0),
+        node_bb_min=bmin,
+        node_bb_max=bmax,
+        node_tri_start=start,
+        node_is_leaf=leaf,
+        node_exit=exit_,
+        tri_p1=gp1,
+        tri_e1=g(p2) - gp1,
+        tri_e2=g(p3) - gp1,
+        tri_n1=g(n1),
+        tri_n2=g(n2),
+        tri_n3=g(n3),
+        tri_color=g(color),
         leaf_size=leaf_size,
     )
 
     if into is None:
         return new, node_base, node_base + new.n_nodes
+    return _merge(into, new), node_base, node_base + new.n_nodes
 
+
+def build_bvh(
+    triangles: List[Triangle],
+    leaf_size: int = 8,
+    into: Optional[FlatBVH] = None,
+) -> Tuple[FlatBVH, int, int]:
+    """Build a skip-link BVH over Triangle objects (converts to soup
+    arrays and delegates to build_bvh_arrays)."""
+    p1 = np.stack([t.p1[:3] for t in triangles])
+    p2 = np.stack([t.p2[:3] for t in triangles])
+    p3 = np.stack([t.p3[:3] for t in triangles])
+    n1 = np.stack([t.n1[:3] for t in triangles])
+    n2 = np.stack([t.n2[:3] for t in triangles])
+    n3 = np.stack([t.n3[:3] for t in triangles])
+    color = np.stack([np.asarray(t.material.color)[:3] for t in triangles])
+    return build_bvh_arrays(p1, p2, p3, n1, n2, n3, color,
+                            leaf_size=leaf_size, into=into)
+
+
+def _merge(into: FlatBVH, new: FlatBVH) -> FlatBVH:
     merged = FlatBVH(
         node_bb_min=np.concatenate([into.node_bb_min, new.node_bb_min]),
         node_bb_max=np.concatenate([into.node_bb_max, new.node_bb_max]),
@@ -259,9 +303,9 @@ def build_bvh(
         tri_n2=np.concatenate([into.tri_n2, new.tri_n2]),
         tri_n3=np.concatenate([into.tri_n3, new.tri_n3]),
         tri_color=np.concatenate([into.tri_color, new.tri_color]),
-        leaf_size=leaf_size,
+        leaf_size=new.leaf_size,
     )
-    return merged, node_base, node_base + new.n_nodes
+    return merged
 
 
 def empty_bvh(leaf_size: int = 8) -> FlatBVH:

@@ -14,7 +14,7 @@ from typing import List, NamedTuple, Optional, Sequence, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from .bvh import FlatBVH, build_bvh, empty_bvh
+from .bvh import FlatBVH, build_bvh, build_bvh_arrays, empty_bvh
 from .shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE, Cylinder, Group, Shape, Triangle
 
 NONE_TYPE = -1
@@ -206,8 +206,8 @@ def pack_scene(
             min_y[i] = s.min_y
             max_y[i] = s.max_y
         elif isinstance(s, Group):
-            tris = s.all_triangles()
-            if not tris:
+            soup = s.soup
+            if soup is None and not s.all_triangles():
                 # group with no triangles contributes nothing (matches the
                 # reference: childCount==0 groups are skipped, tracer.cl:617)
                 obj_type[i] = NONE_TYPE
@@ -215,7 +215,15 @@ def pack_scene(
             s.bounds()
             bb_min[i] = s.bounding_box.min[:3]
             bb_max[i] = s.bounding_box.max[:3]
-            pool, root, end = build_bvh(tris, leaf_size=leaf_size, into=pool)
+            if soup is not None:
+                # native triangle-soup fast path (no Python objects)
+                pool, root, end = build_bvh_arrays(
+                    soup.p1, soup.p2, soup.p3, soup.n1, soup.n2, soup.n3,
+                    soup.color, leaf_size=leaf_size, into=pool,
+                )
+            else:
+                pool, root, end = build_bvh(
+                    s.all_triangles(), leaf_size=leaf_size, into=pool)
             bvh_root[i] = root
             bvh_end[i] = end
             group_indices.append(i)
@@ -231,8 +239,12 @@ def pack_scene(
     else:
         dummy = False
 
-    f = lambda a: jnp.asarray(a, dtype=dtype)
-    i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+    # convert dtypes in numpy BEFORE jnp.asarray: a jnp-side cast traces
+    # + compiles a convert_element_type program per unique shape (~3s of
+    # pure overhead for a mesh scene); a matching-dtype numpy array is a
+    # straight device_put
+    f = lambda a: jnp.asarray(np.asarray(a, dtype=np.dtype(dtype)))
+    i32 = lambda a: jnp.asarray(np.asarray(a, dtype=np.int32))
 
     arrays = SceneArrays(
         obj_type=i32(obj_type),

@@ -113,6 +113,10 @@ class Group(Shape):
     def __init__(self, **kw):
         super().__init__(**kw)
         self.children: List[Shape] = []
+        # optional triangle-soup backing (native-parsed arrays instead of
+        # per-triangle Python objects; see native.py ObjData). When set,
+        # the packer reads arrays directly and `children` stays empty.
+        self.soup = None
         from .bounds import BoundingBox
         self.bounding_box = BoundingBox.empty()
 
@@ -128,7 +132,17 @@ class Group(Shape):
 
     def bounds(self) -> None:
         """Recompute the cached AABB (group.go:134)."""
-        from .bounds import bounds_of
+        import numpy as np
+        from .bounds import BoundingBox, bounds_of
+        if self.soup is not None and self.soup.n_tris:
+            s = self.soup
+            mn = np.minimum(np.minimum(s.p1.min(0), s.p2.min(0)),
+                            s.p3.min(0))
+            mx = np.maximum(np.maximum(s.p1.max(0), s.p2.max(0)),
+                            s.p3.max(0))
+            self.bounding_box = BoundingBox(
+                np.append(mn, 1.0), np.append(mx, 1.0))
+            return
         self.bounding_box = bounds_of(self)
 
     def all_triangles(self) -> List[Triangle]:

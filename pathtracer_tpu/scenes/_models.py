@@ -16,13 +16,40 @@ from ..scene.shapes import Group
 
 def load_model(name: str, normals_groups: int = 0) -> Group:
     """Parse `assets/<name>` (or a procedural substitute) into one ROOT
-    group. If normals_groups > 0, compute smooth vertex normals over the
+    group. If normals_groups != 0, compute smooth vertex normals over the
     triangles of the first N named groups BEFORE any transform, exactly as
     the reference loaders do (teapot.go:86-93: group.Children[0];
-    transparent_glass.go:124-133: Children[0] and Children[1])."""
+    transparent_glass.go:124-133: Children[0] and Children[1]).
+
+    Uses the native scene-core parser when built (PT_NATIVE=0 disables) —
+    triangles stay as arrays (Group.soup), skipping Python object
+    construction entirely. The native path computes vertex normals over
+    ALL triangles, which is identical for every reference scene (teapot
+    has one group; glass uses all groups; gopher doesn't compute them).
+    """
+    from .. import native
+
     path = find_asset(name)
     mtl_dir = os.path.dirname(path) if path else "."
-    model = parse_obj(load_obj_source(name), mtl_dir=mtl_dir)
+    text = load_obj_source(name)
+
+    if native.available():
+        mtl = None
+        for row in text.split("\n"):
+            row = row.strip()
+            if row.startswith("mtllib"):
+                from ..scene.objfile import parse_mtl
+                with open(os.path.join(mtl_dir, row.split()[1])) as f:
+                    mtl = parse_mtl(f.read())
+                break
+        soup = native.parse_obj(text, mtl=mtl,
+                                compute_normals=normals_groups != 0)
+        group = Group(label="ROOT")
+        group.soup = soup
+        group.bounds()
+        return group
+
+    model = parse_obj(text, mtl_dir=mtl_dir)
     group = model.to_group()
 
     if normals_groups != 0:
