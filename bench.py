@@ -34,11 +34,13 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     py = jnp.asarray(np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
     cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera.pack(jnp.float32)))
     obj = jnp.asarray(pk.build_scene_table(arrays, meta))
+    nodes, tris = pk.build_mesh_tables(arrays, meta)
+    nodes, tris = jnp.asarray(nodes), jnp.asarray(tris)
 
     def run(seed):
         r, _, _ = pk.trace_tiles(
-            jnp.asarray([seed], jnp.int32), cam_vec, obj, px, py,
-            meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples,
+            jnp.asarray([seed], jnp.int32), cam_vec, obj, nodes, tris,
+            px, py, meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples,
             tile=(S, L),
         )
         r.block_until_ready()

@@ -85,6 +85,17 @@ def list_devices() -> None:
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS before any backend init: the axon TPU plugin
+    # preloads jax and would otherwise still attach to the TPU tunnel
+    # even when the user asked for cpu (killing concurrent TPU jobs)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     args = build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,

@@ -121,15 +121,16 @@ def render_driver(
     py = jnp.asarray(ys.ravel(), jnp.int32)
 
     @jax.jit
-    def segment_wavefront(c0: jnp.ndarray, n: jnp.ndarray, k) -> Vec3:
+    def segment_wavefront(c0: jnp.ndarray, n: jnp.ndarray, k, bpx, bpy
+                          ) -> Vec3:
         """Sum of render passes for global chunks [c0, c0+n)."""
         def body(i, acc):
             c = c0 + i
             kc = jax.random.fold_in(k, c)
             s0 = (c * spp_chunk).astype(jnp.int32)
-            return acc + render_pass(scn, meta, cfg, cam, px, py, s0,
+            return acc + render_pass(scn, meta, cfg, cam, bpx, bpy, s0,
                                      spp_chunk, kc)
-        init = Vec3.zeros((px.shape[0],), dtype)
+        init = Vec3.zeros((bpx.shape[0],), dtype)
         return jax.lax.while_loop(
             lambda s: s[0] < n,
             lambda s: (s[0] + 1, body(s[0], s[1])),
@@ -137,7 +138,7 @@ def render_driver(
         )[1]
 
     if use_pallas:
-        S, L = 128, 256
+        S, L = pk.default_tile(meta)
         n_pix = W * H
         pad = (-n_pix) % (S * L)
         ids = np.arange(n_pix + pad)
@@ -146,20 +147,59 @@ def render_driver(
             np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
         cam_vec = jnp.asarray(pk.build_camera_vec(cam))
         obj_table = jnp.asarray(pk.build_scene_table(scn, meta))
+        nodes, tris = pk.build_mesh_tables(scn, meta)
+        nodes, tris = jnp.asarray(nodes), jnp.asarray(tris)
 
         def segment(c0: int, n: int, k) -> Vec3:
             # independent PRNG stream per segment, derived from (seed, c0)
             seed = jnp.asarray([cfg.seed * 7919 + int(c0) + 1], jnp.int32)
             r, g, b = pk.trace_tiles(
-                seed, cam_vec, obj_table, px2, py2,
+                seed, cam_vec, obj_table, nodes, tris, px2, py2,
                 meta=meta, cfg=cfg, spp=int(n) * spp_chunk,
                 total_samples=cfg.samples, tile=(S, L),
             )
             flat = lambda a: a.reshape(-1)[:n_pix]
             return Vec3(flat(r), flat(g), flat(b))
     else:
+        # BVH traversal on the wavefront path is gather-bound on real TPU
+        # hardware and a full-image launch can run long enough to trip the
+        # device watchdog (the reference hit the same wall on GPUs and
+        # chunked 4 rows per launch, ocltracer.go:212-223) — chunk mesh
+        # scenes into bounded ray blocks per device call.
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if meta.has_groups and on_tpu and not cfg.rows_per_pass:
+            # ~8k rays per device call: larger launches run long enough
+            # for the device watchdog to kill the program AND wedge the
+            # chip for minutes (measured: 15k-ray calls survive at ~10 s,
+            # 77k-ray calls are killed)
+            block = max(1, 8192 // W)
+            log.warning(
+                "wavefront BVH on TPU: chunking to %d rows per call "
+                "(prefer --backend pallas for untextured mesh scenes)",
+                block,
+            )
+        else:
+            block = cfg.rows_per_pass or H
+
+        pad_rows = (-H) % block
+        ys2, xs2 = np.mgrid[0:H + pad_rows, 0:W]
+        ys2 = np.minimum(ys2, H - 1)
+        pxb = jnp.asarray(xs2.ravel(), jnp.int32).reshape(-1, block * W)
+        pyb = jnp.asarray(ys2.ravel(), jnp.int32).reshape(-1, block * W)
+        n_blocks = pxb.shape[0]
+
         def segment(c0: int, n: int, k) -> Vec3:
-            return segment_wavefront(jnp.int32(c0), jnp.int32(n), k)
+            # per-block key fold: reusing one key across pixel blocks would
+            # replicate the random stream block-to-block (visible banding)
+            outs = [
+                segment_wavefront(jnp.int32(c0), jnp.int32(n),
+                                  jax.random.fold_in(k, 1000003 + b),
+                                  pxb[b], pyb[b])
+                for b in range(n_blocks)
+            ]
+            cat = lambda f: jnp.concatenate([f(o) for o in outs])[:H * W]
+            return Vec3(cat(lambda o: o.x), cat(lambda o: o.y),
+                        cat(lambda o: o.z))
 
     seg_len = checkpoint_every if checkpoint_every > 0 else n_chunks
     stats = RenderStats()

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..scene.pack import SceneArrays, SceneMeta
-from ..scene.shapes import BOX, CYLINDER, PLANE, SPHERE
+from ..scene.shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE
 
 # SMEM object-table column layout (per object row):
 #   0-11  inverse (3x4 row-major)
@@ -48,22 +48,36 @@ from ..scene.shapes import BOX, CYLINDER, PLANE, SPHERE
 #   31    reflectivity
 #   32    min_y
 #   33    max_y
-_OBJ_COLS = 34
+#   34-36 group bbox min (local space; GROUP objects only)
+#   37-39 group bbox max
+_OBJ_COLS = 40
 
 # SMEM camera vector layout:
 #   0-11 inverse (3x4 row-major), 12 pixel_size, 13 half_width,
 #   14 half_height, 15 aperture, 16 focal_length
 _CAM_COLS = 17
 
+# VMEM mesh-node row layout (one BVH node per sublane row):
+#   0-2 bbmin, 3-5 bbmax, 6 tri_start (exact f32 int), 7 is_leaf, 8 exit
+_NODE_COLS = 16
+# VMEM triangle rows: 4 slots per row, 24-col stride per slot:
+#   +0-2 p1, +3-5 e1, +6-8 e2, +9-11 n1, +12-14 n2, +15-17 n3, +18-20 color
+_TRI_SLOTS_PER_ROW = 4
+_TRI_STRIDE = 24
+
 _BIG = 1e30
 _INV24 = float(2.0 ** -24)
 
 
 def supports_scene(meta: SceneMeta, scn: SceneArrays = None) -> bool:
-    """Megakernel coverage: primitive-only untextured scenes."""
-    prim = all(t in (PLANE, SPHERE, CYLINDER, BOX) for t in meta.obj_types)
-    return prim and not meta.has_groups and not meta.textured_types \
-        and not meta.has_normal_maps
+    """Megakernel coverage: untextured scenes of the 4 primitives plus
+    BVH triangle meshes (packet traversal). Textured / normal-mapped
+    scenes fall back to the wavefront integrator."""
+    prim = all(t in (PLANE, SPHERE, CYLINDER, BOX, GROUP)
+               for t in meta.obj_types)
+    if meta.has_groups and meta.leaf_size % _TRI_SLOTS_PER_ROW != 0:
+        return False
+    return prim and not meta.textured_types and not meta.has_normal_maps
 
 
 def build_scene_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
@@ -80,7 +94,51 @@ def build_scene_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
     out[:, 31] = np.asarray(scn.reflectivity)[:n]
     out[:, 32] = np.asarray(scn.min_y)[:n]
     out[:, 33] = np.asarray(scn.max_y)[:n]
+    out[:, 34:37] = np.asarray(scn.bb_min)[:n]
+    out[:, 37:40] = np.asarray(scn.bb_max)[:n]
     return out
+
+
+def build_mesh_tables(scn: SceneArrays, meta: SceneMeta
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """VMEM-resident mesh pools for packet traversal.
+
+    nodes: [Nn, _NODE_COLS] f32, one skip-link BVH node per row.
+    tris:  [ceil(Ns/4), 96] f32, 4 triangle slots per row (a leaf of 8
+    slots spans exactly 2 rows; degenerate padding slots keep det == 0).
+    Indices are stored as f32 (pool sizes < 2^24, exact)."""
+    if not meta.has_groups:
+        return (np.zeros((1, _NODE_COLS), dtype=np.float32),
+                np.zeros((1, _TRI_SLOTS_PER_ROW * _TRI_STRIDE),
+                         dtype=np.float32))
+    nn = int(np.asarray(scn.node_bb_min).shape[0])
+    nodes = np.zeros((nn, _NODE_COLS), dtype=np.float32)
+    nodes[:, 0:3] = np.asarray(scn.node_bb_min)
+    nodes[:, 3:6] = np.asarray(scn.node_bb_max)
+    nodes[:, 6] = np.asarray(scn.node_tri_start)
+    nodes[:, 7] = np.asarray(scn.node_is_leaf)
+    nodes[:, 8] = np.asarray(scn.node_exit)
+
+    ns = int(np.asarray(scn.tri_p1).shape[0])
+    rows = (ns + _TRI_SLOTS_PER_ROW - 1) // _TRI_SLOTS_PER_ROW
+    tris = np.zeros((rows, _TRI_SLOTS_PER_ROW * _TRI_STRIDE),
+                    dtype=np.float32)
+    fields = [scn.tri_p1, scn.tri_e1, scn.tri_e2,
+              scn.tri_n1, scn.tri_n2, scn.tri_n3, scn.tri_color]
+    flat = np.concatenate([np.asarray(f, dtype=np.float32)
+                           for f in fields], axis=1)  # [Ns, 21]
+    for s in range(ns):
+        r, k = divmod(s, _TRI_SLOTS_PER_ROW)
+        tris[r, k * _TRI_STRIDE:k * _TRI_STRIDE + 21] = flat[s]
+    return nodes, tris
+
+
+def default_tile(meta: SceneMeta) -> Tuple[int, int]:
+    """Ray-tile shape: big tiles amortize fixed cost for primitive-only
+    scenes; mesh scenes want smaller packets (one scalar BVH pointer per
+    tile — smaller packets stay more coherent; swept empirically on
+    teapot/gopher, (8, 512) beat (8, 128) by ~1.4x)."""
+    return (8, 512) if meta.has_groups else (128, 256)
 
 
 def build_camera_vec(cam) -> np.ndarray:
@@ -231,6 +289,8 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                  total_samples: int, tile: Tuple[int, int]):
     """Build the tile kernel body closed over static scene structure."""
     obj_types = meta.obj_types
+    group_bvh = {g: (r, e) for g, r, e in meta.group_bvh}
+    leaf_rows = meta.leaf_size // _TRI_SLOTS_PER_ROW
     eps = cfg.epsilon
     t_max = cfg.t_max
     max_b = cfg.max_bounces
@@ -239,8 +299,8 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
     sun_n = float(total_samples)
     sun_b = round(2.0 * math.sqrt(sun_n))  # sunflower boundary count
 
-    def kernel(seed_ref, cam_ref, obj_ref, px_ref, py_ref,
-               out_r, out_g, out_b):
+    def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, px_ref,
+               py_ref, out_r, out_g, out_b):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         fx = px_ref[...].astype(jnp.float32)
@@ -258,6 +318,129 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
         acc_r = jnp.zeros(shape, jnp.float32)
         acc_g = jnp.zeros(shape, jnp.float32)
         acc_b = jnp.zeros(shape, jnp.float32)
+
+        def traverse_packet(root, end, tox, toy, toz, tdx, tdy, tdz,
+                            active):
+            """Packet skip-link BVH walk: ONE scalar node pointer for the
+            whole ray tile (classic packet tracing on the TPU's
+            scalar-core + VPU split), replacing both the reference's
+            per-work-item stack (tracer.cl:624) and the wavefront path's
+            per-ray skip index. Per iteration: one scalar node fetch, one
+            vectorized slab test, an any-reduce, and (for hit leaves) 8
+            vectorized Möller–Trumbore tests with running-best selects of
+            t / interpolated normal / triangle color."""
+            zero = jnp.zeros(shape, jnp.float32)
+            any_pre = jnp.any(active)
+            init = (jnp.where(any_pre, jnp.int32(root), jnp.int32(end)),
+                    jnp.full(shape, _BIG, jnp.float32),
+                    zero, zero, zero, zero, zero, zero)
+
+            # hoist the slab-test divisions out of the walk: 1/d computed
+            # once per packet; near-zero components take the BIG branch
+            # (same semantics as _axis_slab)
+            ok_x = jnp.abs(tdx) >= eps
+            ok_y = jnp.abs(tdy) >= eps
+            ok_z = jnp.abs(tdz) >= eps
+            inv_dx = jnp.where(ok_x, 1.0 / jnp.where(ok_x, tdx, 1.0), _BIG)
+            inv_dy = jnp.where(ok_y, 1.0 / jnp.where(ok_y, tdy, 1.0), _BIG)
+            inv_dz = jnp.where(ok_z, 1.0 / jnp.where(ok_z, tdz, 1.0), _BIG)
+
+            def tcond(st):
+                return st[0] < end
+
+            def tbody(st):
+                idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
+                node = node_ref[pl.ds(idx, 1), :]
+                ax1 = (node[0, 0] - tox) * inv_dx
+                ax2 = (node[0, 3] - tox) * inv_dx
+                ay1 = (node[0, 1] - toy) * inv_dy
+                ay2 = (node[0, 4] - toy) * inv_dy
+                az1 = (node[0, 2] - toz) * inv_dz
+                az2 = (node[0, 5] - toz) * inv_dz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(ax1, ax2),
+                                jnp.minimum(ay1, ay2)),
+                    jnp.minimum(az1, az2))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(ax1, ax2),
+                                jnp.maximum(ay1, ay2)),
+                    jnp.maximum(az1, az2))
+                hitb = active & (tmin <= tmax) & (tmax > eps) & (tmin < bt)
+                anyhit = jnp.any(hitb)
+                is_leaf = node[0, 7] > 0.5
+                start = node[0, 6].astype(jnp.int32)
+                exitn = node[0, 8].astype(jnp.int32)
+
+                def leaf_fn(carry):
+                    bt, gnx, gny, gnz, gcr, gcg, gcb = carry
+                    r0 = jax.lax.div(start,
+                                     jnp.int32(_TRI_SLOTS_PER_ROW))
+                    block = tri_ref[pl.ds(r0, leaf_rows), :]
+                    for r in range(leaf_rows):
+                        for s in range(_TRI_SLOTS_PER_ROW):
+                            c = s * _TRI_STRIDE
+                            p1x = block[r, c + 0]
+                            p1y = block[r, c + 1]
+                            p1z = block[r, c + 2]
+                            e1x = block[r, c + 3]
+                            e1y = block[r, c + 4]
+                            e1z = block[r, c + 5]
+                            e2x = block[r, c + 6]
+                            e2y = block[r, c + 7]
+                            e2z = block[r, c + 8]
+                            # Möller–Trumbore (tracer.cl:640-674), ray
+                            # vectors x triangle scalars
+                            dc2x = tdy * e2z - tdz * e2y
+                            dc2y = tdz * e2x - tdx * e2z
+                            dc2z = tdx * e2y - tdy * e2x
+                            det = e1x * dc2x + e1y * dc2y + e1z * dc2z
+                            det_ok = jnp.abs(det) >= eps
+                            f = 1.0 / jnp.where(det_ok, det, 1.0)
+                            px_ = tox - p1x
+                            py_ = toy - p1y
+                            pz_ = toz - p1z
+                            u = f * (px_ * dc2x + py_ * dc2y + pz_ * dc2z)
+                            ocx = py_ * e1z - pz_ * e1y
+                            ocy = pz_ * e1x - px_ * e1z
+                            ocz = px_ * e1y - py_ * e1x
+                            v = f * (tdx * ocx + tdy * ocy + tdz * ocz)
+                            t = f * (e2x * ocx + e2y * ocy + e2z * ocz)
+                            better = (
+                                hitb & det_ok
+                                & (u >= 0.0) & (u <= 1.0)
+                                & (v >= 0.0) & (u + v <= 1.0)
+                                & (t > eps) & (t < t_max) & (t < bt)
+                            )
+                            # smooth normal n2*u + n3*v + n1*(1-u-v)
+                            # (tracer.cl:669) folded into the select
+                            w1 = 1.0 - u - v
+                            cnx = (block[r, c + 12] * u
+                                   + block[r, c + 15] * v
+                                   + block[r, c + 9] * w1)
+                            cny = (block[r, c + 13] * u
+                                   + block[r, c + 16] * v
+                                   + block[r, c + 10] * w1)
+                            cnz = (block[r, c + 14] * u
+                                   + block[r, c + 17] * v
+                                   + block[r, c + 11] * w1)
+                            bt = jnp.where(better, t, bt)
+                            gnx = jnp.where(better, cnx, gnx)
+                            gny = jnp.where(better, cny, gny)
+                            gnz = jnp.where(better, cnz, gnz)
+                            gcr = jnp.where(better, block[r, c + 18], gcr)
+                            gcg = jnp.where(better, block[r, c + 19], gcg)
+                            gcb = jnp.where(better, block[r, c + 20], gcb)
+                    return (bt, gnx, gny, gnz, gcr, gcg, gcb)
+
+                carry = jax.lax.cond(
+                    anyhit & is_leaf, leaf_fn, lambda cr: cr,
+                    (bt, gnx, gny, gnz, gcr, gcg, gcb),
+                )
+                nidx = jnp.where(anyhit, idx + 1, exitn)
+                return (nidx,) + carry
+
+            st = jax.lax.while_loop(tcond, tbody, init)
+            return st[1], st[2], st[3], st[4], st[5], st[6], st[7]
 
         def sample_body(n, acc):
             acc_r, acc_g, acc_b = acc
@@ -338,11 +521,16 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 w_max_y = jnp.zeros(shape, jnp.float32)
                 emi_g = jnp.zeros(shape, jnp.float32)
                 emi_b = jnp.zeros(shape, jnp.float32)
+                is_tri_f = jnp.zeros(shape, jnp.float32)
+                tnx = jnp.zeros(shape, jnp.float32)
+                tny = jnp.zeros(shape, jnp.float32)
+                tnz = jnp.zeros(shape, jnp.float32)
 
                 for j, code in enumerate(obj_types):
                     m = [obj_ref[j, k] for k in range(12)]
                     tox, toy, toz = _mat12_point(m, ox, oy, oz)
                     tdx, tdy, tdz = _mat12_vec(m, dx, dy, dz)
+                    g_tri = None
                     if code == PLANE:
                         t_j = _plane_t(toy, tdy, eps)
                     elif code == SPHERE:
@@ -351,8 +539,24 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                         t_j = _cylinder_t(tox, toy, toz, tdx, tdy, tdz,
                                           obj_ref[j, 32], obj_ref[j, 33],
                                           eps)
-                    else:  # BOX
+                    elif code == BOX:
                         t_j = _box_t(tox, toy, toz, tdx, tdy, tdz, eps)
+                    else:  # GROUP: pretest group bbox, then packet walk
+                        x1, x2 = _axis_slab(tox, tdx, obj_ref[j, 34],
+                                            obj_ref[j, 37], eps)
+                        y1, y2 = _axis_slab(toy, tdy, obj_ref[j, 35],
+                                            obj_ref[j, 38], eps)
+                        z1, z2 = _axis_slab(toz, tdz, obj_ref[j, 36],
+                                            obj_ref[j, 39], eps)
+                        gtmin = jnp.maximum(jnp.maximum(x1, y1), z1)
+                        gtmax = jnp.minimum(jnp.minimum(x2, y2), z2)
+                        pre = ((alive_i > 0) & (gtmin <= gtmax)
+                               & (gtmax > eps))
+                        root, end = group_bvh[j]
+                        t_j, g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = \
+                            traverse_packet(root, end, tox, toy, toz,
+                                            tdx, tdy, tdz, pre)
+                        g_tri = (g_nx, g_ny, g_nz, g_cr, g_cg, g_cb)
 
                     closer = t_j < best_t
                     best_t = jnp.where(closer, t_j, best_t)
@@ -362,12 +566,28 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                     l_dx = jnp.where(closer, tdx, l_dx)
                     l_dy = jnp.where(closer, tdy, l_dy)
                     l_dz = jnp.where(closer, tdz, l_dz)
-                    col_r = jnp.where(closer, obj_ref[j, 24], col_r)
-                    col_g = jnp.where(closer, obj_ref[j, 25], col_g)
-                    col_b = jnp.where(closer, obj_ref[j, 26], col_b)
-                    emi_r = jnp.where(closer, obj_ref[j, 27], emi_r)
-                    emi_g = jnp.where(closer, obj_ref[j, 28], emi_g)
-                    emi_b = jnp.where(closer, obj_ref[j, 29], emi_b)
+                    if g_tri is None:
+                        col_r = jnp.where(closer, obj_ref[j, 24], col_r)
+                        col_g = jnp.where(closer, obj_ref[j, 25], col_g)
+                        col_b = jnp.where(closer, obj_ref[j, 26], col_b)
+                        emi_r = jnp.where(closer, obj_ref[j, 27], emi_r)
+                        emi_g = jnp.where(closer, obj_ref[j, 28], emi_g)
+                        emi_b = jnp.where(closer, obj_ref[j, 29], emi_b)
+                        is_tri_f = jnp.where(closer, 0.0, is_tri_f)
+                    else:
+                        # per-triangle color; emission forced to 0 for
+                        # mesh hits (tracer.cl:672-673, 1071-1073)
+                        g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = g_tri
+                        col_r = jnp.where(closer, g_cr, col_r)
+                        col_g = jnp.where(closer, g_cg, col_g)
+                        col_b = jnp.where(closer, g_cb, col_b)
+                        emi_r = jnp.where(closer, 0.0, emi_r)
+                        emi_g = jnp.where(closer, 0.0, emi_g)
+                        emi_b = jnp.where(closer, 0.0, emi_b)
+                        is_tri_f = jnp.where(closer, 1.0, is_tri_f)
+                        tnx = jnp.where(closer, g_nx, tnx)
+                        tny = jnp.where(closer, g_ny, tny)
+                        tnz = jnp.where(closer, g_nz, tnz)
                     refr = jnp.where(closer, obj_ref[j, 30], refr)
                     refl = jnp.where(closer, obj_ref[j, 31], refl)
                     w_min_y = jnp.where(closer, obj_ref[j, 32], w_min_y)
@@ -404,15 +624,19 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 is_plane = w_type == PLANE
                 is_cyl = w_type == CYLINDER
                 is_box = w_type == BOX
-                nlx = jnp.where(is_plane, zero,
+                use_tri = is_tri_f > 0.5
+                nlx = jnp.where(use_tri, tnx,
+                      jnp.where(is_plane, zero,
                       jnp.where(is_cyl, cyl_nx,
-                      jnp.where(is_box, box_nx, lx)))
-                nly = jnp.where(is_plane, one,
+                      jnp.where(is_box, box_nx, lx))))
+                nly = jnp.where(use_tri, tny,
+                      jnp.where(is_plane, one,
                       jnp.where(is_cyl, cyl_ny,
-                      jnp.where(is_box, box_ny, ly)))
-                nlz = jnp.where(is_plane, zero,
+                      jnp.where(is_box, box_ny, ly))))
+                nlz = jnp.where(use_tri, tnz,
+                      jnp.where(is_plane, zero,
                       jnp.where(is_cyl, cyl_nz,
-                      jnp.where(is_box, box_nz, lz)))
+                      jnp.where(is_box, box_nz, lz))))
                 nx, ny, nz = _mat12_vec(invt, nlx, nly, nlz)
                 nx, ny, nz = _normalize(nx, ny, nz)
                 # face-forward
@@ -570,6 +794,8 @@ def trace_tiles(
     seed: jnp.ndarray,          # i32 scalar-like [1]
     cam_vec: jnp.ndarray,       # [_CAM_COLS] f32
     obj_table: jnp.ndarray,     # [No, _OBJ_COLS] f32
+    node_table: jnp.ndarray,    # [Nn, _NODE_COLS] f32 (dummy if no mesh)
+    tri_table: jnp.ndarray,     # [rows, 96] f32
     px: jnp.ndarray,            # [T*S, L] i32
     py: jnp.ndarray,
     meta: SceneMeta = None,
@@ -590,6 +816,8 @@ def trace_tiles(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # cam
             pl.BlockSpec(memory_space=pltpu.SMEM),              # objects
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # BVH nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # triangles
             pl.BlockSpec((S, L), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),              # px
             pl.BlockSpec((S, L), lambda i, *_: (i, 0),
@@ -610,7 +838,7 @@ def trace_tiles(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,  # CPU testing (tests/test_pallas.py)
-    )(seed, cam_vec, obj_table, px, py)
+    )(seed, cam_vec, obj_table, node_table, tri_table, px, py)
 
 
 def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
@@ -619,7 +847,7 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
     """Full-image render via the megakernel. Returns [H, W, 3] float32."""
     assert supports_scene(meta), "scene not supported by the megakernel"
     W, H = camera.width, camera.height
-    S, L = tile if tile is not None else (128, 256)
+    S, L = tile if tile is not None else default_tile(meta)
     tile_sz = S * L
 
     n_pix = W * H
@@ -633,11 +861,12 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
     py = jnp.asarray(ys.reshape(rows, L))
     cam_vec = jnp.asarray(build_camera_vec(camera.pack(jnp.float32)))
     obj_table = jnp.asarray(build_scene_table(scn, meta))
+    nodes, tris = build_mesh_tables(scn, meta)
 
     spp = cfg.samples
     r, g, b = trace_tiles(
         jnp.asarray([seed if seed is not None else cfg.seed], jnp.int32),
-        cam_vec, obj_table, px, py,
+        cam_vec, obj_table, jnp.asarray(nodes), jnp.asarray(tris), px, py,
         meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples, tile=(S, L),
         interpret=interpret,
     )

@@ -145,7 +145,7 @@ def _pack_texture_atlas(images: Sequence[np.ndarray], dtype) -> np.ndarray:
 
 def pack_scene(
     objects: Sequence[Shape],
-    leaf_size: int = 8,
+    leaf_size: int = 16,
     max_objects: Optional[int] = None,
     dtype=jnp.float32,
     textures: Sequence[np.ndarray] = (),

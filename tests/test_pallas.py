@@ -32,9 +32,10 @@ def test_supports_scene_classification(small_cfg):
     checks = {
         "reference": True,          # planes + spheres
         "transparency": True,       # + glass/mirror roulette
-        "default": False,           # has a triangle group
-        "teapot": False,            # BVH mesh
-        "textures": False,          # textured materials
+        "default": True,            # triangle group (packet traversal)
+        "teapot": True,             # BVH mesh
+        "textures": False,          # textured materials -> wavefront
+        "cubemap": False,           # cube-map texture -> wavefront
     }
     for name, expect in checks.items():
         sc = get_scene(name, small_cfg)
@@ -57,6 +58,26 @@ def test_megakernel_matches_wavefront_mean(small_cfg):
     # independent-RNG estimates of the same integral: means agree
     assert abs(img_p.mean() - img_w.mean()) < 0.03
     # and so do per-pixel values up to MC noise at 64 spp
+    assert np.abs(img_p - img_w).mean() < 0.15
+
+
+@_tpu
+def test_megakernel_mesh_matches_wavefront_mean(small_cfg):
+    """BVH packet-traversal path vs the CPU wavefront oracle (the
+    wavefront BVH on real TPU hardware is watchdog-limited, so the oracle
+    runs on the CPU backend)."""
+    import jax
+
+    from pathtracer_tpu.render.integrator import render
+
+    sc = get_scene("teapot", small_cfg)
+    arrays, meta = sc.pack()
+    img_p = render_pallas(arrays, meta, sc.camera, small_cfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        arrays2, meta2 = sc.pack()
+        img_w = render(arrays2, meta2, sc.camera, small_cfg)
+    assert np.isfinite(img_p).all()
+    assert abs(img_p.mean() - img_w.mean()) < 0.03
     assert np.abs(img_p - img_w).mean() < 0.15
 
 
