@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rows-per-pass", type=int,
                    default=_env("rows_per_pass", 0, int))
     p.add_argument("--seed", type=int, default=_env("seed", 0, int))
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation (the reference's "
+                        "experimental light sampling, tracer.cl:786; "
+                        "wavefront backend)")
+    p.add_argument("--debug-ray", type=int, default=-1,
+                   help="print per-bounce state for this ray index")
     p.add_argument("--distributed", action="store_true",
                    help="shard pixels x spp over all visible devices")
     p.add_argument("--mesh", type=str, default=None,
@@ -128,7 +134,7 @@ def main(argv=None) -> int:
         aperture=args.aperture, focal_length=args.focal_length,
         dtype=args.dtype, samples_per_pass=args.samples_per_pass,
         rows_per_pass=args.rows_per_pass, seed=args.seed,
-        backend=args.backend,
+        backend=args.backend, nee=args.nee, debug_ray=args.debug_ray,
     )
 
     t0 = time.perf_counter()

@@ -51,6 +51,15 @@ class RenderConfig:
     # supports it (primitive-only, untextured, f32) and falls back to the
     # wavefront jnp integrator; "pallas"/"wavefront" force one.
     backend: str = "auto"
+    # Next-event estimation (explicit light sampling with shadow rays).
+    # The reference carries this code but ships with the call commented
+    # out (tracer.cl:786-829, call site tracer.cl:1168); off by default
+    # for estimator parity. Wavefront backend only.
+    nee: bool = False
+    # Debug probe: print per-bounce path state for one ray index of the
+    # batch (-1 = off) — the jax.debug.print equivalent of the reference's
+    # hardcoded per-pixel printf probes (tracer.cl:1015, 1065-1067).
+    debug_ray: int = -1
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -104,6 +104,8 @@ def render_driver(
         or (cfg.backend == "auto"
             and cfg.dtype == "float32"
             and jax.devices()[0].platform == "tpu"
+            and not cfg.nee           # NEE lives in the wavefront path
+            and cfg.debug_ray < 0     # so does the per-ray probe
             and pk.supports_scene(meta))
     )
     log.info("backend: %s", "pallas megakernel" if use_pallas

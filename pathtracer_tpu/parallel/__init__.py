@@ -12,6 +12,8 @@ Scene/BVH/material arrays are replicated on every chip (they are < a few
 MB). Host transfer happens once, for the final PNG.
 """
 from .mesh import make_mesh, mesh_shape_for
+from .multihost import global_render_mesh, initialize_multihost
 from .render_dist import render_sharded
 
-__all__ = ["make_mesh", "mesh_shape_for", "render_sharded"]
+__all__ = ["make_mesh", "mesh_shape_for", "render_sharded",
+           "initialize_multihost", "global_render_mesh"]

@@ -226,6 +226,53 @@ def _surface_color(scn: SceneArrays, meta: SceneMeta, at: ObjAttrs,
     return Vec3.where(is_tri, tri_color, base)
 
 
+def _next_event_estimation(scn: SceneArrays, meta: SceneMeta,
+                           cfg: RenderConfig, position: Vec3, normal: Vec3,
+                           color: Vec3, mask: Vec3, cond: jnp.ndarray,
+                           key: jnp.ndarray) -> Vec3:
+    """Explicit light sampling (tracer.cl:786-829), statically unrolled
+    over the pack-time emissive objects (meta.light_indices)."""
+    from .sampling import random_point_on_sphere
+
+    R = position.x.shape[0]
+    dt = position.x.dtype
+    eps = cfg.epsilon
+    out = Vec3.zeros((R,), dt)
+
+    for li, l in enumerate(meta.light_indices):
+        u1, u2 = jax.random.uniform(
+            jax.random.fold_in(key, li), (2, R), dtype=jnp.float32
+        ).astype(dt)
+        # light origin from the transform's translation column; scale from
+        # the max diagonal element (tracer.cl:790-791)
+        tr = scn.transform[l]
+        origin = Vec3(
+            jnp.broadcast_to(tr[0, 3], (R,)),
+            jnp.broadcast_to(tr[1, 3], (R,)),
+            jnp.broadcast_to(tr[2, 3], (R,)),
+        )
+        scale_by = jnp.maximum(jnp.maximum(tr[0, 0], tr[1, 1]), tr[2, 2])
+        rpos = random_point_on_sphere(1.0, u1, u2)
+        light_pos = origin + rpos * scale_by
+
+        sdir = (light_pos - position).normalized()
+        sorigin = position + sdir * eps
+        ldn = sdir.dot(normal)
+
+        hit = intersect_scene(scn, meta, sorigin, sdir, eps, cfg.t_max)
+        visible = (
+            cond & (ldn > 0.0) & (hit.obj_idx == l)
+            & (hit.t > eps) & (hit.t < cfg.t_max)
+        )
+        # reference attenuation heuristic (tracer.cl:819)
+        atten = 1.0 - hit.t / jnp.sqrt(hit.t * hit.t + tr[0, 0] * tr[0, 0])
+        eff = color * Vec3(scn.emission[l, 0], scn.emission[l, 1],
+                           scn.emission[l, 2])
+        contrib = eff * mask * (ldn * atten)
+        out = out + Vec3.where(visible, contrib, Vec3.zeros((R,), dt))
+    return out
+
+
 def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
                 state: PathState, key: jnp.ndarray) -> PathState:
     eps = cfg.epsilon
@@ -333,6 +380,17 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     accum = state.accum + Vec3.where(
         no_refr, state.mask * emission, Vec3(zero, zero, zero)
     )
+
+    # optional next-event estimation (tracer.cl:786-829; the reference
+    # ships with the call disabled, tracer.cl:1168 — cfg.nee replicates
+    # the experimental estimator exactly, including its light-sphere
+    # attenuation heuristic)
+    if cfg.nee and meta.light_indices:
+        nee_cond = no_refr & ~is_light
+        accum = accum + _next_event_estimation(
+            scn, meta, cfg, position, normal, color, state.mask,
+            nee_cond, jax.random.fold_in(key, 3),
+        )
     direct = no_refr & is_light & (state.n_hits == 0)
     accum = Vec3.where(direct, color, accum)
     mask = Vec3.where(
@@ -383,6 +441,23 @@ def render_rays(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     # reference's per-work-item break (tracer.cl:1107). The fixed-trip
     # fori_loop variant computes the identical result (dead rays are
     # masked) and is used for reverse-mode AD (cfg.early_exit=False).
+    def _probe(b, s):
+        """Per-bounce path-state probe for one ray of the batch — the
+        equivalent of the reference's per-pixel printf probes
+        (tracer.cl:1015, 1065-1067)."""
+        i = cfg.debug_ray
+        jax.debug.print(
+            "bounce {b} ray {i}: o=({ox:.5f},{oy:.5f},{oz:.5f}) "
+            "d=({dx:.5f},{dy:.5f},{dz:.5f}) mask=({mr:.4f},{mg:.4f},"
+            "{mb:.4f}) accum=({ar:.4f},{ag:.4f},{ab:.4f}) alive={al}",
+            b=b, i=i,
+            ox=s.origin.x[i], oy=s.origin.y[i], oz=s.origin.z[i],
+            dx=s.direction.x[i], dy=s.direction.y[i], dz=s.direction.z[i],
+            mr=s.mask.x[i], mg=s.mask.y[i], mb=s.mask.z[i],
+            ar=s.accum.x[i], ag=s.accum.y[i], ab=s.accum.z[i],
+            al=s.alive[i],
+        )
+
     if cfg.early_exit:
         def cond(bs):
             b, s = bs
@@ -390,13 +465,18 @@ def render_rays(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
 
         def body(bs):
             b, s = bs
-            return b + 1, bounce_step(scn, meta, cfg, s,
-                                      jax.random.fold_in(key, b))
+            s = bounce_step(scn, meta, cfg, s, jax.random.fold_in(key, b))
+            if cfg.debug_ray >= 0:
+                _probe(b, s)
+            return b + 1, s
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     else:
         def fbody(b, s):
-            return bounce_step(scn, meta, cfg, s, jax.random.fold_in(key, b))
+            s = bounce_step(scn, meta, cfg, s, jax.random.fold_in(key, b))
+            if cfg.debug_ray >= 0:
+                _probe(b, s)
+            return s
 
         state = jax.lax.fori_loop(0, cfg.max_bounces, fbody, state)
     return state.accum

@@ -97,6 +97,9 @@ class SceneMeta:
     # tracer.cl:1077-1093, cannot do).
     textured_types: Tuple[int, ...] = ()
     has_normal_maps: bool = False
+    # object slots that are emissive at pack time (emission.x > 0, the
+    # reference's light test, tracer.cl:788) — drives the static NEE unroll
+    light_indices: Tuple[int, ...] = ()
 
     @property
     def has_groups(self) -> bool:
@@ -290,6 +293,10 @@ def pack_scene(
          if s.material.textured and obj_type[i] != NONE_TYPE}
     )
     has_nm = any(s.material.textured_nm for s in objects)
+    lights = tuple(
+        i for i, s in enumerate(objects)
+        if s.material.emission[0] > 0.0 and obj_type[i] != NONE_TYPE
+    )
     meta = SceneMeta(
         n_objects=n,
         max_objects=no,
@@ -301,5 +308,6 @@ def pack_scene(
         leaf_size=leaf_size,
         textured_types=tuple(textured_types),
         has_normal_maps=has_nm,
+        light_indices=lights,
     )
     return arrays, meta
