@@ -137,9 +137,19 @@ def main(argv=None) -> int:
         backend=args.backend, nee=args.nee, debug_ray=args.debug_ray,
     )
 
+    if args.dtype == "float64":
+        # without x64 enabled jax silently downcasts to f32 — the f64
+        # golden path (the reference computes in double throughout,
+        # tracer.cl) must actually be double
+        jax.config.update("jax_enable_x64", True)
+
     t0 = time.perf_counter()
     sc = get_scene(args.scene, cfg)
-    arrays, meta = sc.pack()
+    import jax.numpy as jnp
+
+    arrays, meta = sc.pack(
+        dtype=jnp.float64 if args.dtype == "float64" else jnp.float32
+    )
     log.info("scene %s: %d objects, %d BVH nodes, %d triangle slots",
              args.scene, meta.n_objects, meta.n_nodes, meta.n_tri_slots)
 
