@@ -161,13 +161,16 @@ def squares_texture(h: int = 512, w: int = 512) -> np.ndarray:
 
 def squares_normal_map(h: int = 512, w: int = 512) -> np.ndarray:
     """Normal-map stand-in for concrete_squares_nm2.png: beveled edges at
-    the grout lines, encoded as RGB = (x, y, z) with y up."""
+    the grout lines. Texel values must be in [0,1] like any 8-bit image —
+    the kernel normalizes the raw texel and uses it as the normal
+    (tracer.cl:907-911), so bevels are encoded as small x/z excursions on
+    a dominant y component."""
     yy, xx = np.mgrid[0:h, 0:w]
     px = (xx % (w // 8)).astype(np.float32)
     py = (yy % (h // 8)).astype(np.float32)
-    nx = np.where(px < 3, -0.5, np.where(px > (w // 8) - 4, 0.5, 0.0))
-    nz = np.where(py < 3, -0.5, np.where(py > (h // 8) - 4, 0.5, 0.0))
-    ny = np.sqrt(np.maximum(1.0 - nx * nx - nz * nz, 0.0))
+    nx = np.where(px < 3, 0.1, np.where(px > (w // 8) - 4, 0.5, 0.3))
+    nz = np.where(py < 3, 0.1, np.where(py > (h // 8) - 4, 0.5, 0.3))
+    ny = np.full_like(nx, 0.9)
     return np.stack([nx, ny, nz], axis=-1).astype(np.float32)
 
 

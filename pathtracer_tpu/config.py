@@ -51,6 +51,10 @@ class RenderConfig:
     # supports it (primitive-only, untextured, f32) and falls back to the
     # wavefront jnp integrator; "pallas"/"wavefront" force one.
     backend: str = "auto"
+    # Sample textures through the float atlases so gradients can flow to
+    # them (set by the differentiable path, diff/grad.py). The default
+    # render path samples rgb8-packed uint32 atlases (3x fewer gathers).
+    trainable_textures: bool = False
     # Next-event estimation (explicit light sampling with shadow rays).
     # The reference carries this code but ships with the call commented
     # out (tracer.cl:786-829, call site tracer.cl:1168); off by default

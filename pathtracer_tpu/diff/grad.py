@@ -77,8 +77,9 @@ def render_image_diff(
     """Differentiable estimate of P pixels at n_samples spp -> Vec3 [P]."""
     scn = apply_params(scn, params)
     # fixed-trip bounce loop: reverse-mode AD cannot cross a dynamic
-    # while_loop (config.py early_exit)
-    cfg = cfg.replace(early_exit=False)
+    # while_loop (config.py early_exit); float texture sampling so texel
+    # gradients flow (the packed-u32 path is quantized/non-differentiable)
+    cfg = cfg.replace(early_exit=False, trainable_textures=True)
     acc = render_pass(scn, meta, cfg, cam, px, py,
                       jnp.int32(0), n_samples, key)
     return acc * (1.0 / float(n_samples))

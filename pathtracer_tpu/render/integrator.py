@@ -40,7 +40,17 @@ from ..scene.shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE
 from .camera import Camera, CameraArrays, rays_for_pixels
 from .intersect import Hit, intersect_scene
 from .sampling import random_vector_in_hemisphere, refracted_direction, schlick
-from .uv import cube_uv, sample_texture, spherical_map
+from .uv import cube_uv, sample_texture, sample_texture_packed, spherical_map
+
+
+def _tex_sampler(cfg: RenderConfig, scn: SceneArrays, kind: str):
+    """Texture fetch for one atlas: packed-u32 on the render path, float
+    when texture gradients must flow (cfg.trainable_textures)."""
+    if cfg.trainable_textures:
+        atlas = getattr(scn, f"tex_{kind}")
+        return lambda li, u, v: sample_texture(atlas, li, u, v)
+    atlas_u32 = getattr(scn, f"tex_{kind}_u32")
+    return lambda li, u, v: sample_texture_packed(atlas_u32, li, u, v)
 from .vec3 import Vec3
 
 
@@ -146,8 +156,9 @@ def _mat12_apply_vector(m: Tuple[jnp.ndarray, ...], v: Vec3) -> Vec3:
     )
 
 
-def _surface_normal(scn: SceneArrays, meta: SceneMeta, at: ObjAttrs,
-                    lp: Vec3, tri_normal: Vec3, is_tri, eps) -> Vec3:
+def _surface_normal(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
+                    at: ObjAttrs, lp: Vec3, tri_normal: Vec3, is_tri,
+                    eps) -> Vec3:
     """Object-space normal by primitive type (tracer.cl:903-950)."""
     obj_type = at.obj_type
     min_y, max_y = at.min_y, at.max_y
@@ -160,8 +171,9 @@ def _surface_normal(scn: SceneArrays, meta: SceneMeta, at: ObjAttrs,
     if meta.has_normal_maps:
         has_nm = (at.is_textured_nm == 1) & (obj_type == PLANE)
         nm_sx, nm_sy = at.texture_scale_nm
-        nm_rgb = sample_texture(
-            scn.tex_planar, at.texture_index_nm,
+        fetch = _tex_sampler(cfg, scn, "planar")
+        nm_rgb = fetch(
+            at.texture_index_nm,
             jnp.abs(lp.x) * nm_sx, jnp.abs(lp.z) * nm_sy,
         ).normalized()
         n_plane = Vec3.where(has_nm, nm_rgb, n_plane)
@@ -194,8 +206,8 @@ def _surface_normal(scn: SceneArrays, meta: SceneMeta, at: ObjAttrs,
     return Vec3.where(is_tri, tri_normal, n)
 
 
-def _surface_color(scn: SceneArrays, meta: SceneMeta, at: ObjAttrs,
-                   lp: Vec3, tri_color: Vec3, is_tri) -> Vec3:
+def _surface_color(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
+                   at: ObjAttrs, lp: Vec3, tri_color: Vec3, is_tri) -> Vec3:
     """Surface color incl. texture lookups (tracer.cl:1075-1093).
 
     Texture sampling per primitive type is STATICALLY elided when no object
@@ -210,16 +222,17 @@ def _surface_color(scn: SceneArrays, meta: SceneMeta, at: ObjAttrs,
 
         tex_color = base
         if PLANE in meta.textured_types:
-            c_plane = sample_texture(scn.tex_planar, tex_idx,
-                                     lp.x * sx, lp.z * sy)
+            c_plane = _tex_sampler(cfg, scn, "planar")(
+                tex_idx, lp.x * sx, lp.z * sy)
             tex_color = Vec3.where(obj_type == PLANE, c_plane, tex_color)
         if SPHERE in meta.textured_types:
             us, vs = spherical_map(lp)
-            c_sphere = sample_texture(scn.tex_sphere, tex_idx, us, 1.0 - vs)
+            c_sphere = _tex_sampler(cfg, scn, "sphere")(
+                tex_idx, us, 1.0 - vs)
             tex_color = Vec3.where(obj_type == SPHERE, c_sphere, tex_color)
         if BOX in meta.textured_types:
             uc, vc = cube_uv(lp)
-            c_cube = sample_texture(scn.tex_cube, tex_idx, uc, vc)
+            c_cube = _tex_sampler(cfg, scn, "cube")(tex_idx, uc, vc)
             tex_color = Vec3.where(obj_type == BOX, c_cube, tex_color)
 
         base = Vec3.where(textured, tex_color, base)
@@ -309,7 +322,7 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
         tri_color = Vec3.zeros((R,), dt)
 
     n_local = _surface_normal(
-        scn, meta, at, local_point, tri_normal, hit.is_tri, eps,
+        scn, meta, cfg, at, local_point, tri_normal, hit.is_tri, eps,
     )
     normal = _mat12_apply_vector(at.inv_t, n_local).normalized()
     # face-forward (tracer.cl:962-964)
@@ -367,7 +380,7 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     new_inside = jnp.where(do_refract, outside, state.inside)
     is_refraction = entering | exiting
 
-    color = _surface_color(scn, meta, at, local_point, tri_color,
+    color = _surface_color(scn, meta, cfg, at, local_point, tri_color,
                            hit.is_tri)
     zero = jnp.zeros_like(color.x)
     emission = Vec3.where(hit.is_tri, Vec3(zero, zero, zero), at.emission)

@@ -73,25 +73,31 @@ def cube_uv(p: Vec3) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return u, v
 
 
-def sample_texture(atlas: jnp.ndarray, layer: jnp.ndarray, u: jnp.ndarray,
-                   v: jnp.ndarray) -> Vec3:
-    """Bilinear sample with REPEAT wrap from a channel-leading [3, n, H, W]
-    atlas (tracer.cl:829 sampler semantics). layer/u/v: [R]. Returns Vec3."""
-    _, n, h, w = atlas.shape
-    # OpenCL normalized-coordinate linear filtering: texel centers at
-    # (i + 0.5) / W
+def _bilinear_coords(w, h, layer, n, u, v):
+    """OpenCL normalized-coordinate linear filtering with REPEAT wrap:
+    texel centers at (i + 0.5) / W (tracer.cl:829 sampler semantics)."""
     fx = u * w - 0.5
     fy = v * h - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     tx = fx - x0
     ty = fy - y0
-
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     x1i = jnp.mod(x0i + 1, w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
     y1i = jnp.mod(y0i + 1, h)
     li = jnp.clip(layer, 0, n - 1)
+    return x0i, x1i, y0i, y1i, tx, ty, li
+
+
+def sample_texture(atlas: jnp.ndarray, layer: jnp.ndarray, u: jnp.ndarray,
+                   v: jnp.ndarray) -> Vec3:
+    """Bilinear sample from a channel-leading [3, n, H, W] float atlas.
+    layer/u/v: [R]. Returns Vec3. 12 gathers — the differentiable path
+    (texture atlases are trainable, diff/grad.py); the render path uses
+    sample_texture_packed (3x fewer gathers)."""
+    _, n, h, w = atlas.shape
+    x0i, x1i, y0i, y1i, tx, ty, li = _bilinear_coords(w, h, layer, n, u, v)
 
     def chan(c):
         c00 = atlas[c, li, y0i, x0i]
@@ -103,3 +109,31 @@ def sample_texture(atlas: jnp.ndarray, layer: jnp.ndarray, u: jnp.ndarray,
         return top * (1.0 - ty) + bot * ty
 
     return Vec3(chan(0), chan(1), chan(2))
+
+
+def sample_texture_packed(atlas_u32: jnp.ndarray, layer: jnp.ndarray,
+                          u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
+    """Bilinear sample from an rgb8-in-uint32 [n, H, W] atlas: ONE gather
+    per corner instead of one per corner per channel. XLA:TPU gathers run
+    ~250M elem/s regardless of width, so this is a 3x texture-sampling
+    speedup; source images are 8-bit anyway, so no fidelity is lost
+    (within 1/255 of the float path)."""
+    n, h, w = atlas_u32.shape
+    x0i, x1i, y0i, y1i, tx, ty, li = _bilinear_coords(w, h, layer, n, u, v)
+    dt = u.dtype
+
+    def unpack(p):
+        scale = jnp.asarray(1.0 / 255.0, dt)
+        return Vec3(
+            (p & 0xFF).astype(dt) * scale,
+            ((p >> 8) & 0xFF).astype(dt) * scale,
+            ((p >> 16) & 0xFF).astype(dt) * scale,
+        )
+
+    c00 = unpack(atlas_u32[li, y0i, x0i])
+    c01 = unpack(atlas_u32[li, y0i, x1i])
+    c10 = unpack(atlas_u32[li, y1i, x0i])
+    c11 = unpack(atlas_u32[li, y1i, x1i])
+    top = c00 * (1.0 - tx) + c01 * tx
+    bot = c10 * (1.0 - tx) + c11 * tx
+    return top * (1.0 - ty) + bot * ty

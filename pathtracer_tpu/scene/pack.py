@@ -74,6 +74,12 @@ class SceneArrays(NamedTuple):
     tex_planar: jnp.ndarray
     tex_sphere: jnp.ndarray
     tex_cube: jnp.ndarray
+    # rgb8-packed uint32 mirrors [n, H, W] — the render path's texel fetch
+    # (1 gather per corner instead of 3; see uv.sample_texture_packed).
+    # The float atlases above stay for the differentiable path.
+    tex_planar_u32: jnp.ndarray
+    tex_sphere_u32: jnp.ndarray
+    tex_cube_u32: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,6 +150,12 @@ def _pack_texture_atlas(images: Sequence[np.ndarray], dtype) -> np.ndarray:
             im = im[yi][:, xi]
         out[:, i] = np.moveaxis(im[..., :3], -1, 0)
     return out
+
+
+def _pack_u32(atlas: np.ndarray) -> np.ndarray:
+    """[3, n, H, W] float -> [n, H, W] uint32 with rgb8 in the low bytes."""
+    q = np.clip(np.round(atlas * 255.0), 0, 255).astype(np.uint32)
+    return q[0] | (q[1] << 8) | (q[2] << 16)
 
 
 def pack_scene(
@@ -284,9 +296,13 @@ def pack_scene(
         tri_n2=f(pool.tri_n2),
         tri_n3=f(pool.tri_n3),
         tri_color=f(pool.tri_color),
-        tex_planar=f(_pack_texture_atlas(textures, np.float32)),
-        tex_sphere=f(_pack_texture_atlas(sphere_textures, np.float32)),
-        tex_cube=f(_pack_texture_atlas(cube_textures, np.float32)),
+        tex_planar=f(tex_p := _pack_texture_atlas(textures, np.float32)),
+        tex_sphere=f(tex_s := _pack_texture_atlas(sphere_textures,
+                                                  np.float32)),
+        tex_cube=f(tex_c := _pack_texture_atlas(cube_textures, np.float32)),
+        tex_planar_u32=jnp.asarray(_pack_u32(tex_p)),
+        tex_sphere_u32=jnp.asarray(_pack_u32(tex_s)),
+        tex_cube_u32=jnp.asarray(_pack_u32(tex_c)),
     )
     textured_types = sorted(
         {int(obj_type[i]) for i, s in enumerate(objects)
