@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--metrics-json", type=str, default=None,
+                   help="write render metrics as one JSON line to this file")
     p.add_argument("--output", type=str, default=None,
                    help="PNG path (default out-<spp>-<W>x<H>.png)")
     p.add_argument("--raw-output", type=str, default="experiment.raw")
@@ -185,6 +187,12 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
     log.info("render took %.2fs%s", dt,
              f" ({stats.msamples_per_sec:.2f} Msamples/s)" if stats else "")
+    if args.metrics_json and stats:
+        with open(args.metrics_json, "w") as f:
+            f.write(stats.to_json(
+                scene=args.scene, width=cfg.width, height=cfg.height,
+                spp=cfg.samples, total_wall_s=round(dt, 3),
+            ) + "\n")
 
     write_raw(args.raw_output, img)
     out = args.output or f"out-{cfg.samples}-{cfg.width}x{cfg.height}.png"

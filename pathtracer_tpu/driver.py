@@ -30,13 +30,25 @@ log = logging.getLogger("pathtracer_tpu")
 @dataclasses.dataclass
 class RenderStats:
     """Throughput metrics (the reference only logs wall time per batch,
-    ocltracer.go:222; we also report samples/sec and rays/sec bounds)."""
+    ocltracer.go:222; we also report samples/sec and structured JSON)."""
     wall_s: float = 0.0
     samples: int = 0
+    backend: str = ""
+    segments: int = 0
 
     @property
     def msamples_per_sec(self) -> float:
         return self.samples / self.wall_s / 1e6 if self.wall_s else 0.0
+
+    def to_json(self, **extra) -> str:
+        return json.dumps({
+            "wall_s": round(self.wall_s, 3),
+            "samples": self.samples,
+            "msamples_per_sec": round(self.msamples_per_sec, 3),
+            "backend": self.backend,
+            "segments": self.segments,
+            **extra,
+        })
 
 
 def _checkpoint_save(path: str, accum: np.ndarray, chunks_done: int,
@@ -204,7 +216,8 @@ def render_driver(
                         cat(lambda o: o.z))
 
     seg_len = checkpoint_every if checkpoint_every > 0 else n_chunks
-    stats = RenderStats()
+    stats = RenderStats(
+        backend="pallas" if use_pallas else "wavefront")
     t_total = time.perf_counter()
 
     ctx = (jax.profiler.trace(profile_dir) if profile_dir
@@ -225,6 +238,7 @@ def render_driver(
             c += n
             seg_samples = W * H * n * spp_chunk
             stats.samples += seg_samples
+            stats.segments += 1
             log.info("%d/%d chunks done in %.2fs (%.2f Msamples/s)",
                      c, n_chunks, dt, seg_samples / dt / 1e6)
             if checkpoint_path and (checkpoint_every > 0 or c >= n_chunks):
