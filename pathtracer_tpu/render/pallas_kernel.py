@@ -320,7 +320,7 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
         acc_b = jnp.zeros(shape, jnp.float32)
 
         def traverse_packet(root, end, tox, toy, toz, tdx, tdy, tdz,
-                            active):
+                            active, bt0):
             """Packet skip-link BVH walk: ONE scalar node pointer for the
             whole ray tile (classic packet tracing on the TPU's
             scalar-core + VPU split), replacing both the reference's
@@ -331,8 +331,12 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             t / interpolated normal / triangle color."""
             zero = jnp.zeros(shape, jnp.float32)
             any_pre = jnp.any(active)
+            # best-t starts at the closest hit among earlier objects, not
+            # +inf: node boxes entered beyond it are pruned immediately,
+            # so packets whose rays are occluded (e.g. the mesh is behind
+            # a wall) fall out of the walk after a handful of nodes
             init = (jnp.where(any_pre, jnp.int32(root), jnp.int32(end)),
-                    jnp.full(shape, _BIG, jnp.float32),
+                    bt0,
                     zero, zero, zero, zero, zero, zero)
 
             # hoist the slab-test divisions out of the walk: 1/d computed
@@ -551,11 +555,11 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                         gtmin = jnp.maximum(jnp.maximum(x1, y1), z1)
                         gtmax = jnp.minimum(jnp.minimum(x2, y2), z2)
                         pre = ((alive_i > 0) & (gtmin <= gtmax)
-                               & (gtmax > eps))
+                               & (gtmax > eps) & (gtmin < best_t))
                         root, end = group_bvh[j]
                         t_j, g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = \
                             traverse_packet(root, end, tox, toy, toz,
-                                            tdx, tdy, tdz, pre)
+                                            tdx, tdy, tdz, pre, best_t)
                         g_tri = (g_nx, g_ny, g_nz, g_cr, g_cg, g_cb)
 
                     closer = t_j < best_t
