@@ -104,6 +104,21 @@ def main(argv=None) -> int:
         except Exception:
             pass
 
+    # persistent XLA compilation cache: repeat renders skip the multi-
+    # second kernel compiles entirely (the reference pays its OpenCL
+    # program build on every run, ocltracer.go:161-174)
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/pathtracer_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     args = build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,

@@ -215,33 +215,53 @@ def render_driver(
             return Vec3(cat(lambda o: o.x), cat(lambda o: o.y),
                         cat(lambda o: o.z))
 
-    seg_len = checkpoint_every if checkpoint_every > 0 else n_chunks
+    if checkpoint_every > 0:
+        seg_len = checkpoint_every
+    else:
+        # cap per-device-call work at ~64 spp: one moderate kernel compile
+        # gets reused across all segments (a single monolithic call would
+        # compile a huge program), and the partial sums stay ON DEVICE
+        # between segments — the tunnel's ~8.5 MB/s device->host path is
+        # only paid at checkpoints and once at the end
+        seg_len = max(1, min(n_chunks, 64 // spp_chunk))
     stats = RenderStats(
         backend="pallas" if use_pallas else "wavefront")
     t_total = time.perf_counter()
+
+    def to_np(v: "Vec3") -> np.ndarray:
+        return np.stack(
+            [np.asarray(v.x), np.asarray(v.y), np.asarray(v.z)], axis=-1,
+        ).astype(np.float64)
 
     ctx = (jax.profiler.trace(profile_dir) if profile_dir
            else _null_context())
     with ctx:
         c = start_chunk
+        dev_acc = None  # device-resident partial sum since last checkpoint
         while c < n_chunks:
             n = min(seg_len, n_chunks - c)
             t0 = time.perf_counter()
             out = segment(c, n, key)
-            out.x.block_until_ready()
+            dev_acc = out if dev_acc is None else Vec3(
+                dev_acc.x + out.x, dev_acc.y + out.y, dev_acc.z + out.z)
+            # sync each segment: the remote-TPU tunnel degrades badly on
+            # deep async dispatch queues (measured 13s compute ballooning
+            # to 100+s wall when 32 segments were left enqueued)
+            dev_acc.x.block_until_ready()
             dt = time.perf_counter() - t0
-            seg_np = np.stack(
-                [np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)],
-                axis=-1,
-            ).astype(np.float64)
-            accum += seg_np
             c += n
             seg_samples = W * H * n * spp_chunk
             stats.samples += seg_samples
             stats.segments += 1
             log.info("%d/%d chunks done in %.2fs (%.2f Msamples/s)",
                      c, n_chunks, dt, seg_samples / dt / 1e6)
-            if checkpoint_path and (checkpoint_every > 0 or c >= n_chunks):
+            if checkpoint_path and checkpoint_every > 0:
+                accum += to_np(dev_acc)
+                dev_acc = None
+                _checkpoint_save(checkpoint_path, accum, c, cfg)
+        if dev_acc is not None:
+            accum += to_np(dev_acc)
+            if checkpoint_path:
                 _checkpoint_save(checkpoint_path, accum, c, cfg)
 
     stats.wall_s = time.perf_counter() - t_total
