@@ -90,10 +90,15 @@ def main():
     sc = get_scene("reference", cfg)
     arrays, meta = sc.pack()
 
-    if backend == "pallas":
-        samples, dt = bench_pallas(cfg, sc, arrays, meta, spp)
-    else:
-        samples, dt = bench_wavefront(cfg, sc, arrays, meta, spp)
+    fn = bench_pallas if backend == "pallas" else bench_wavefront
+    try:
+        samples, dt = fn(cfg, sc, arrays, meta, spp)
+    except Exception:
+        # the remote-TPU tunnel stays wedged for a couple of minutes after
+        # any crash (including one from a PREVIOUS process); one patient
+        # retry distinguishes a wedged device from a real failure
+        time.sleep(150)
+        samples, dt = fn(cfg, sc, arrays, meta, spp)
 
     msps = samples / dt / 1e6
     print(json.dumps({

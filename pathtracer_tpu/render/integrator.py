@@ -36,9 +36,9 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..scene.pack import SceneArrays, SceneMeta
-from ..scene.shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE
+from ..scene.shapes import BOX, CYLINDER, PLANE, SPHERE
 from .camera import Camera, CameraArrays, rays_for_pixels
-from .intersect import Hit, intersect_scene
+from .intersect import intersect_scene
 from .sampling import random_vector_in_hemisphere, refracted_direction, schlick
 from .uv import cube_uv, sample_texture, sample_texture_packed, spherical_map
 

@@ -15,7 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .bvh import FlatBVH, build_bvh, build_bvh_arrays, empty_bvh
-from .shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE, Cylinder, Group, Shape, Triangle
+from .shapes import Cylinder, Group, Shape, Triangle
 
 NONE_TYPE = -1
 
