@@ -41,6 +41,7 @@ from .camera import Camera, CameraArrays, rays_for_pixels
 from .intersect import intersect_scene
 from .sampling import random_vector_in_hemisphere, refracted_direction, schlick
 from .uv import cube_uv, sample_texture, sample_texture_packed, spherical_map
+from .vec3 import Vec3
 
 
 def _tex_sampler(cfg: RenderConfig, scn: SceneArrays, kind: str):
@@ -51,7 +52,6 @@ def _tex_sampler(cfg: RenderConfig, scn: SceneArrays, kind: str):
         return lambda li, u, v: sample_texture(atlas, li, u, v)
     atlas_u32 = getattr(scn, f"tex_{kind}_u32")
     return lambda li, u, v: sample_texture_packed(atlas_u32, li, u, v)
-from .vec3 import Vec3
 
 
 class PathState(NamedTuple):
