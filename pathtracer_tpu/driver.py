@@ -218,12 +218,14 @@ def render_driver(
     if checkpoint_every > 0:
         seg_len = checkpoint_every
     else:
-        # cap per-device-call work at ~64 spp: one moderate kernel compile
-        # gets reused across all segments (a single monolithic call would
-        # compile a huge program), and the partial sums stay ON DEVICE
-        # between segments — the tunnel's ~8.5 MB/s device->host path is
-        # only paid at checkpoints and once at the end
-        seg_len = max(1, min(n_chunks, 64 // spp_chunk))
+        # cap per-device-call work (~128 spp default, PT_SEG_SPP to tune):
+        # one moderate kernel compile gets reused across all segments (a
+        # single monolithic call would compile a huge program), and the
+        # partial sums stay ON DEVICE between segments — the tunnel's
+        # ~8.5 MB/s device->host path is only paid at checkpoints and
+        # once at the end
+        seg_spp = int(os.environ.get("PT_SEG_SPP", "128"))
+        seg_len = max(1, min(n_chunks, seg_spp // spp_chunk))
     stats = RenderStats(
         backend="pallas" if use_pallas else "wavefront")
     t_total = time.perf_counter()
