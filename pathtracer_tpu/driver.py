@@ -180,8 +180,11 @@ def render_driver(
         # device watchdog (the reference hit the same wall on GPUs and
         # chunked 4 rows per launch, ocltracer.go:212-223) — chunk mesh
         # scenes into bounded ray blocks per device call.
+        from .render.integrator import _use_pallas_intersect
+
         on_tpu = jax.devices()[0].platform == "tpu"
-        if meta.has_groups and on_tpu and not cfg.rows_per_pass:
+        if (meta.has_groups and on_tpu and not cfg.rows_per_pass
+                and not _use_pallas_intersect(meta, cfg)):
             # ~8k rays per device call: larger launches run long enough
             # for the device watchdog to kill the program AND wedge the
             # chip for minutes (measured: 15k-ray calls survive at ~10 s,

@@ -38,10 +38,34 @@ from ..config import RenderConfig
 from ..scene.pack import SceneArrays, SceneMeta
 from ..scene.shapes import BOX, CYLINDER, PLANE, SPHERE
 from .camera import Camera, CameraArrays, rays_for_pixels
-from .intersect import intersect_scene
+from .intersect import Hit, intersect_scene
 from .sampling import random_vector_in_hemisphere, refracted_direction, schlick
 from .uv import cube_uv, sample_texture, sample_texture_packed, spherical_map
 from .vec3 import Vec3
+
+
+def _use_pallas_intersect(meta: SceneMeta, cfg: RenderConfig) -> bool:
+    """Route intersection through the pallas packet-BVH kernel: mesh
+    scenes on real TPU hardware, forward (non-AD) renders only — the
+    kernel has no VJP, and the AD path is marked by early_exit=False.
+    PT_PALLAS_INTERSECT=0 disables."""
+    import os
+
+    if os.environ.get("PT_PALLAS_INTERSECT") == "0":
+        return False
+    if not (meta.has_groups and cfg.early_exit and cfg.dtype == "float32"):
+        return False
+    import jax
+
+    # respect jax.default_device(...) overrides (e.g. the CPU oracle in
+    # tests) — jax.devices()[0] alone would still report the TPU
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.devices()[0].platform
+    if platform != "tpu":
+        return False
+    from . import pallas_kernel as _pk
+
+    return _pk.supports_intersect(meta)
 
 
 def _tex_sampler(cfg: RenderConfig, scn: SceneArrays, kind: str):
@@ -292,8 +316,46 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     R = state.origin.x.shape[0]
     dt = state.origin.x.dtype
 
-    hit = intersect_scene(scn, meta, state.origin, state.direction, eps,
-                          cfg.t_max)
+    if _use_pallas_intersect(meta, cfg):
+        # fast path on real TPU hardware: pallas packet-BVH intersection
+        # (the XLA walk below is gather-bound and can outlast the device
+        # watchdog on mesh scenes); shading stays in XLA
+        from . import pallas_kernel as _pk
+
+        t, oi, lo, ld, is_tri_b, tn, tc = _pk.intersect_batch(
+            scn, meta, cfg,
+            (state.origin.x, state.origin.y, state.origin.z),
+            (state.direction.x, state.direction.y, state.direction.z),
+        )
+        hit = Hit(
+            t=t.astype(dt), obj_idx=oi,
+            local_origin=Vec3(*(a.astype(dt) for a in lo)),
+            local_dir=Vec3(*(a.astype(dt) for a in ld)),
+            is_tri=is_tri_b,
+            tri_slot=jnp.full((R,), -1, jnp.int32),
+            tri_u=jnp.zeros((R,), dt), tri_v=jnp.zeros((R,), dt),
+        )
+        tri_normal = Vec3(*(a.astype(dt) for a in tn))
+        tri_color = Vec3(*(a.astype(dt) for a in tc))
+    else:
+        hit = intersect_scene(scn, meta, state.origin, state.direction,
+                              eps, cfg.t_max)
+        # triangle smooth normal n2*u + n3*v + n1*(1-u-v) (tracer.cl:669)
+        # and per-triangle color, gathered once by winning slot;
+        # statically elided for mesh-free scenes
+        if meta.has_groups:
+            slot = jnp.clip(hit.tri_slot, 0, scn.tri_p1.shape[0] - 1)
+            w1 = 1.0 - hit.tri_u - hit.tri_v
+            tri_normal = (
+                _gather_vec(scn.tri_n2, slot) * hit.tri_u
+                + _gather_vec(scn.tri_n3, slot) * hit.tri_v
+                + _gather_vec(scn.tri_n1, slot) * w1
+            )
+            tri_color = _gather_vec(scn.tri_color, slot)
+        else:
+            tri_normal = Vec3.zeros((R,), dt)
+            tri_color = Vec3.zeros((R,), dt)
+
     hit_ok = hit.t < cfg.t_max
 
     # ALL per-object attributes in one MXU one-hot fetch (no gathers)
@@ -304,22 +366,6 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     # local hit point from the already-transformed per-object ray — no
     # per-ray matrix gather needed
     local_point = hit.local_origin + hit.local_dir * hit.t
-
-    # triangle smooth normal n2*u + n3*v + n1*(1-u-v) (tracer.cl:669) and
-    # per-triangle color, gathered once by winning slot; statically elided
-    # for mesh-free scenes
-    if meta.has_groups:
-        slot = jnp.clip(hit.tri_slot, 0, scn.tri_p1.shape[0] - 1)
-        w1 = 1.0 - hit.tri_u - hit.tri_v
-        tri_normal = (
-            _gather_vec(scn.tri_n2, slot) * hit.tri_u
-            + _gather_vec(scn.tri_n3, slot) * hit.tri_v
-            + _gather_vec(scn.tri_n1, slot) * w1
-        )
-        tri_color = _gather_vec(scn.tri_color, slot)
-    else:
-        tri_normal = Vec3.zeros((R,), dt)
-        tri_color = Vec3.zeros((R,), dt)
 
     n_local = _surface_normal(
         scn, meta, cfg, at, local_point, tri_normal, hit.is_tri, eps,

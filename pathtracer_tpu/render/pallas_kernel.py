@@ -877,3 +877,323 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
     img = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
     img = img.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
     return img / float(cfg.samples)
+
+
+# ---------------------------------------------------------------------------
+# Intersect-only kernel: fast packet BVH for the WAVEFRONT integrator
+# ---------------------------------------------------------------------------
+
+def _make_intersect_kernel(meta: SceneMeta, cfg: RenderConfig,
+                           tile: Tuple[int, int]):
+    """One full-scene intersection pass per ray tile (no shading). Lets the
+    wavefront integrator — which keeps textures/materials in XLA where
+    gathers are available — replace its gather-bound per-ray BVH walk with
+    the packet traversal. Same structure as the megakernel's intersect
+    section, but emits (t, winning object index, object-space ray, triangle
+    normal/color) for XLA to shade."""
+    obj_types = meta.obj_types
+    group_bvh = {g: (r, e) for g, r, e in meta.group_bvh}
+    leaf_rows = meta.leaf_size // _TRI_SLOTS_PER_ROW
+    eps = cfg.epsilon
+    t_max = cfg.t_max
+
+    def kernel(obj_ref, node_ref, tri_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               t_out, idx_out, lox_out, loy_out, loz_out,
+               ldx_out, ldy_out, ldz_out, tri_out,
+               tnx_out, tny_out, tnz_out, tcr_out, tcg_out, tcb_out):
+        ox = ox_ref[...]
+        oy = oy_ref[...]
+        oz = oz_ref[...]
+        dx = dx_ref[...]
+        dy = dy_ref[...]
+        dz = dz_ref[...]
+        shape = ox.shape
+        zero = jnp.zeros(shape, jnp.float32)
+
+        def traverse(root, end, tox, toy, toz, tdx, tdy, tdz, active, bt0):
+            any_pre = jnp.any(active)
+            init = (jnp.where(any_pre, jnp.int32(root), jnp.int32(end)),
+                    bt0, zero, zero, zero, zero, zero, zero)
+            ok_x = jnp.abs(tdx) >= eps
+            ok_y = jnp.abs(tdy) >= eps
+            ok_z = jnp.abs(tdz) >= eps
+            inv_dx = jnp.where(ok_x, 1.0 / jnp.where(ok_x, tdx, 1.0), _BIG)
+            inv_dy = jnp.where(ok_y, 1.0 / jnp.where(ok_y, tdy, 1.0), _BIG)
+            inv_dz = jnp.where(ok_z, 1.0 / jnp.where(ok_z, tdz, 1.0), _BIG)
+
+            def tcond(st):
+                return st[0] < end
+
+            def tbody(st):
+                idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
+                node = node_ref[pl.ds(idx, 1), :]
+                ax1 = (node[0, 0] - tox) * inv_dx
+                ax2 = (node[0, 3] - tox) * inv_dx
+                ay1 = (node[0, 1] - toy) * inv_dy
+                ay2 = (node[0, 4] - toy) * inv_dy
+                az1 = (node[0, 2] - toz) * inv_dz
+                az2 = (node[0, 5] - toz) * inv_dz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(ax1, ax2),
+                                jnp.minimum(ay1, ay2)),
+                    jnp.minimum(az1, az2))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(ax1, ax2),
+                                jnp.maximum(ay1, ay2)),
+                    jnp.maximum(az1, az2))
+                hitb = active & (tmin <= tmax) & (tmax > eps) & (tmin < bt)
+                anyhit = jnp.any(hitb)
+                is_leaf = node[0, 7] > 0.5
+                start = node[0, 6].astype(jnp.int32)
+                exitn = node[0, 8].astype(jnp.int32)
+
+                def leaf_fn(carry):
+                    bt, gnx, gny, gnz, gcr, gcg, gcb = carry
+                    r0 = jax.lax.div(start, jnp.int32(_TRI_SLOTS_PER_ROW))
+                    block = tri_ref[pl.ds(r0, leaf_rows), :]
+                    for r in range(leaf_rows):
+                        for s in range(_TRI_SLOTS_PER_ROW):
+                            c = s * _TRI_STRIDE
+                            e1x = block[r, c + 3]
+                            e1y = block[r, c + 4]
+                            e1z = block[r, c + 5]
+                            e2x = block[r, c + 6]
+                            e2y = block[r, c + 7]
+                            e2z = block[r, c + 8]
+                            dc2x = tdy * e2z - tdz * e2y
+                            dc2y = tdz * e2x - tdx * e2z
+                            dc2z = tdx * e2y - tdy * e2x
+                            det = e1x * dc2x + e1y * dc2y + e1z * dc2z
+                            det_ok = jnp.abs(det) >= eps
+                            f = 1.0 / jnp.where(det_ok, det, 1.0)
+                            px_ = tox - block[r, c + 0]
+                            py_ = toy - block[r, c + 1]
+                            pz_ = toz - block[r, c + 2]
+                            u = f * (px_ * dc2x + py_ * dc2y + pz_ * dc2z)
+                            ocx = py_ * e1z - pz_ * e1y
+                            ocy = pz_ * e1x - px_ * e1z
+                            ocz = px_ * e1y - py_ * e1x
+                            v = f * (tdx * ocx + tdy * ocy + tdz * ocz)
+                            t = f * (e2x * ocx + e2y * ocy + e2z * ocz)
+                            better = (
+                                hitb & det_ok
+                                & (u >= 0.0) & (u <= 1.0)
+                                & (v >= 0.0) & (u + v <= 1.0)
+                                & (t > eps) & (t < t_max) & (t < bt)
+                            )
+                            w1 = 1.0 - u - v
+                            cnx = (block[r, c + 12] * u
+                                   + block[r, c + 15] * v
+                                   + block[r, c + 9] * w1)
+                            cny = (block[r, c + 13] * u
+                                   + block[r, c + 16] * v
+                                   + block[r, c + 10] * w1)
+                            cnz = (block[r, c + 14] * u
+                                   + block[r, c + 17] * v
+                                   + block[r, c + 11] * w1)
+                            bt = jnp.where(better, t, bt)
+                            gnx = jnp.where(better, cnx, gnx)
+                            gny = jnp.where(better, cny, gny)
+                            gnz = jnp.where(better, cnz, gnz)
+                            gcr = jnp.where(better, block[r, c + 18], gcr)
+                            gcg = jnp.where(better, block[r, c + 19], gcg)
+                            gcb = jnp.where(better, block[r, c + 20], gcb)
+                    return (bt, gnx, gny, gnz, gcr, gcg, gcb)
+
+                carry = jax.lax.cond(
+                    anyhit & is_leaf, leaf_fn, lambda cr: cr,
+                    (bt, gnx, gny, gnz, gcr, gcg, gcb),
+                )
+                nidx = jnp.where(anyhit, idx + 1, exitn)
+                return (nidx,) + carry
+
+            st = jax.lax.while_loop(tcond, tbody, init)
+            return st[1], st[2], st[3], st[4], st[5], st[6], st[7]
+
+        best_t = jnp.full(shape, _BIG, jnp.float32)
+        w_idx = jnp.zeros(shape, jnp.int32)
+        l_ox = ox; l_oy = oy; l_oz = oz
+        l_dx = dx; l_dy = dy; l_dz = dz
+        is_tri_f = jnp.zeros(shape, jnp.float32)
+        tnx = zero; tny = zero; tnz = zero
+        tcr = zero; tcg = zero; tcb = zero
+        alive = jnp.ones(shape, jnp.bool_)
+
+        for j, code in enumerate(obj_types):
+            m = [obj_ref[j, k] for k in range(12)]
+            tox, toy, toz = _mat12_point(m, ox, oy, oz)
+            tdx, tdy, tdz = _mat12_vec(m, dx, dy, dz)
+            g_tri = None
+            if code == PLANE:
+                t_j = _plane_t(toy, tdy, eps)
+            elif code == SPHERE:
+                t_j = _sphere_t(tox, toy, toz, tdx, tdy, tdz, eps)
+            elif code == CYLINDER:
+                t_j = _cylinder_t(tox, toy, toz, tdx, tdy, tdz,
+                                  obj_ref[j, 32], obj_ref[j, 33], eps)
+            elif code == BOX:
+                t_j = _box_t(tox, toy, toz, tdx, tdy, tdz, eps)
+            else:  # GROUP
+                x1, x2 = _axis_slab(tox, tdx, obj_ref[j, 34],
+                                    obj_ref[j, 37], eps)
+                y1, y2 = _axis_slab(toy, tdy, obj_ref[j, 35],
+                                    obj_ref[j, 38], eps)
+                z1, z2 = _axis_slab(toz, tdz, obj_ref[j, 36],
+                                    obj_ref[j, 39], eps)
+                gtmin = jnp.maximum(jnp.maximum(x1, y1), z1)
+                gtmax = jnp.minimum(jnp.minimum(x2, y2), z2)
+                pre = alive & (gtmin <= gtmax) & (gtmax > eps) \
+                    & (gtmin < best_t)
+                root, end = group_bvh[j]
+                t_j, g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = traverse(
+                    root, end, tox, toy, toz, tdx, tdy, tdz, pre, best_t)
+                g_tri = (g_nx, g_ny, g_nz, g_cr, g_cg, g_cb)
+
+            closer = t_j < best_t
+            best_t = jnp.where(closer, t_j, best_t)
+            w_idx = jnp.where(closer, j, w_idx)
+            l_ox = jnp.where(closer, tox, l_ox)
+            l_oy = jnp.where(closer, toy, l_oy)
+            l_oz = jnp.where(closer, toz, l_oz)
+            l_dx = jnp.where(closer, tdx, l_dx)
+            l_dy = jnp.where(closer, tdy, l_dy)
+            l_dz = jnp.where(closer, tdz, l_dz)
+            if g_tri is None:
+                is_tri_f = jnp.where(closer, 0.0, is_tri_f)
+            else:
+                g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = g_tri
+                is_tri_f = jnp.where(closer, 1.0, is_tri_f)
+                tnx = jnp.where(closer, g_nx, tnx)
+                tny = jnp.where(closer, g_ny, tny)
+                tnz = jnp.where(closer, g_nz, tnz)
+                tcr = jnp.where(closer, g_cr, tcr)
+                tcg = jnp.where(closer, g_cg, tcg)
+                tcb = jnp.where(closer, g_cb, tcb)
+
+        t_out[...] = jnp.minimum(best_t, t_max)
+        idx_out[...] = w_idx
+        lox_out[...] = l_ox
+        loy_out[...] = l_oy
+        loz_out[...] = l_oz
+        ldx_out[...] = l_dx
+        ldy_out[...] = l_dy
+        ldz_out[...] = l_dz
+        tri_out[...] = is_tri_f
+        tnx_out[...] = tnx
+        tny_out[...] = tny
+        tnz_out[...] = tnz
+        tcr_out[...] = tcr
+        tcg_out[...] = tcg
+        tcb_out[...] = tcb
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "cfg", "tile"),
+)
+def intersect_tiles(
+    obj_table: jnp.ndarray,
+    node_table: jnp.ndarray,
+    tri_table: jnp.ndarray,
+    ox, oy, oz, dx, dy, dz,     # [T*S, L] f32 each
+    meta: SceneMeta = None,
+    cfg: RenderConfig = None,
+    tile: Tuple[int, int] = (8, 512),
+):
+    """Packet-BVH intersection of a padded tiled ray batch. Returns
+    (t, obj_idx, l_ox..l_dz, is_tri_f, tnx..tnz, tcr..tcb), all [T*S, L]."""
+    S, L = tile
+    n_tiles = ox.shape[0] // S
+    kernel = _make_intersect_kernel(meta, cfg, tile)
+
+    bspec = pl.BlockSpec((S, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct(ox.shape, jnp.float32)
+    i32 = jax.ShapeDtypeStruct(ox.shape, jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # objects
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # triangles
+        ] + [bspec] * 6,
+        out_specs=[bspec] * 15,
+        out_shape=[f32, i32] + [f32] * 13,
+    )(obj_table, node_table, tri_table, ox, oy, oz, dx, dy, dz)
+
+
+def scene_tables_jnp(scn: SceneArrays, meta: SceneMeta):
+    """Build the SMEM/VMEM scene tables with jnp ops so they can be traced
+    from inside a jitted wavefront step (the numpy builders above are for
+    host-side call sites)."""
+    n = meta.n_objects
+    f = lambda a: a.astype(jnp.float32)
+    obj = jnp.concatenate([
+        f(scn.inverse[:n, :3, :].reshape(n, 12)),
+        f(scn.inverse_transpose[:n, :3, :].reshape(n, 12)),
+        f(scn.color[:n]), f(scn.emission[:n]),
+        f(scn.refractive_index[:n, None]), f(scn.reflectivity[:n, None]),
+        f(scn.min_y[:n, None]), f(scn.max_y[:n, None]),
+        f(scn.bb_min[:n]), f(scn.bb_max[:n]),
+    ], axis=1)
+    if not meta.has_groups:
+        return (obj, jnp.zeros((1, _NODE_COLS), jnp.float32),
+                jnp.zeros((1, _TRI_SLOTS_PER_ROW * _TRI_STRIDE),
+                          jnp.float32))
+    nn = scn.node_bb_min.shape[0]
+    nodes = jnp.concatenate([
+        f(scn.node_bb_min), f(scn.node_bb_max),
+        f(scn.node_tri_start[:, None]),
+        f(scn.node_is_leaf[:, None]),
+        f(scn.node_exit[:, None]),
+        jnp.zeros((nn, _NODE_COLS - 9), jnp.float32),
+    ], axis=1)
+    ns = scn.tri_p1.shape[0]
+    flat = jnp.concatenate([
+        f(scn.tri_p1), f(scn.tri_e1), f(scn.tri_e2),
+        f(scn.tri_n1), f(scn.tri_n2), f(scn.tri_n3), f(scn.tri_color),
+    ], axis=1)                                            # [Ns, 21]
+    flat = jnp.pad(flat, ((0, (-ns) % _TRI_SLOTS_PER_ROW),
+                          (0, _TRI_STRIDE - 21)))         # [Ns_pad, 24]
+    tris = flat.reshape(-1, _TRI_SLOTS_PER_ROW * _TRI_STRIDE)
+    return obj, nodes, tris
+
+
+def supports_intersect(meta: SceneMeta) -> bool:
+    """The intersect-only kernel handles ALL scenes the wavefront can
+    (textures don't matter — shading stays in XLA)."""
+    prim = all(t in (PLANE, SPHERE, CYLINDER, BOX, GROUP)
+               for t in meta.obj_types)
+    return prim and meta.leaf_size % _TRI_SLOTS_PER_ROW == 0
+
+
+def intersect_batch(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
+                    origin, direction, tile: Tuple[int, int] = (8, 512)):
+    """Pallas packet intersection of a flat [R] SoA ray batch (callable
+    from inside jit). Returns (t, obj_idx, local_origin, local_dir,
+    is_tri, tri_normal, tri_color) with Vec3 fields as 3-tuples of [R]."""
+    S, L = tile
+    R = origin[0].shape[0]
+    pad = (-R) % (S * L)
+
+    def tiled(a, fill=0.0):
+        return jnp.pad(a.astype(jnp.float32), (0, pad),
+                       constant_values=fill).reshape(-1, L)
+
+    obj, nodes, tris = scene_tables_jnp(scn, meta)
+    outs = intersect_tiles(
+        obj, nodes, tris,
+        tiled(origin[0], 1e6), tiled(origin[1], 1e6), tiled(origin[2], 1e6),
+        tiled(direction[0], 1.0), tiled(direction[1]), tiled(direction[2]),
+        meta=meta, cfg=cfg, tile=tile,
+    )
+
+    def untile(a):
+        return a.reshape(-1)[:R]
+
+    (t, idx, lox, loy, loz, ldx, ldy, ldz, trif,
+     tnx, tny, tnz, tcr, tcg, tcb) = (untile(o) for o in outs)
+    return (t, idx, (lox, loy, loz), (ldx, ldy, ldz), trif > 0.5,
+            (tnx, tny, tnz), (tcr, tcg, tcb))
