@@ -296,13 +296,22 @@ def _next_event_estimation(scn: SceneArrays, meta: SceneMeta,
         sorigin = position + sdir * eps
         ldn = sdir.dot(normal)
 
-        hit = intersect_scene(scn, meta, sorigin, sdir, eps, cfg.t_max)
+        if _use_pallas_intersect(meta, cfg):
+            from . import pallas_kernel as _pk
+
+            sh_t, sh_idx, *_ = _pk.intersect_batch(
+                scn, meta, cfg, (sorigin.x, sorigin.y, sorigin.z),
+                (sdir.x, sdir.y, sdir.z))
+            sh_t = sh_t.astype(dt)
+        else:
+            hit = intersect_scene(scn, meta, sorigin, sdir, eps, cfg.t_max)
+            sh_t, sh_idx = hit.t, hit.obj_idx
         visible = (
-            cond & (ldn > 0.0) & (hit.obj_idx == l)
-            & (hit.t > eps) & (hit.t < cfg.t_max)
+            cond & (ldn > 0.0) & (sh_idx == l)
+            & (sh_t > eps) & (sh_t < cfg.t_max)
         )
         # reference attenuation heuristic (tracer.cl:819)
-        atten = 1.0 - hit.t / jnp.sqrt(hit.t * hit.t + tr[0, 0] * tr[0, 0])
+        atten = 1.0 - sh_t / jnp.sqrt(sh_t * sh_t + tr[0, 0] * tr[0, 0])
         eff = color * Vec3(scn.emission[l, 0], scn.emission[l, 1],
                            scn.emission[l, 2])
         contrib = eff * mask * (ldn * atten)
