@@ -46,9 +46,12 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
         r.block_until_ready()
 
     run(0)  # compile + warm
-    t0 = time.perf_counter()
-    run(1)
-    return W * H * spp, time.perf_counter() - t0
+    best = float("inf")
+    for i in range(3):  # best-of-3: the remote tunnel adds run-to-run jitter
+        t0 = time.perf_counter()
+        run(i + 1)
+        best = min(best, time.perf_counter() - t0)
+    return W * H * spp, best
 
 
 def bench_wavefront(cfg, sc, arrays, meta, spp):
