@@ -285,6 +285,126 @@ def _refract(cx, cy, cz, nx, ny, nz, n1, n2):
     )
 
 
+def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
+                     root, end, tox, toy, toz, tdx, tdy, tdz,
+                     active, bt0):
+    """Packet skip-link BVH walk: ONE scalar node pointer for the whole
+    ray tile (classic packet tracing on the TPU's scalar-core + VPU
+    split), replacing both the reference's per-work-item stack
+    (tracer.cl:624) and the wavefront path's per-ray skip index. Per
+    iteration: one scalar node fetch, one vectorized slab test, an
+    any-reduce, and (for hit leaves) vectorized Möller–Trumbore tests
+    with running-best selects of t / interpolated smooth normal /
+    per-triangle color. best-t starts from `bt0` (the closest hit among
+    earlier objects) so occluded packets prune immediately.
+
+    Shared by the megakernel (_make_kernel) and the intersect-only kernel
+    (_make_intersect_kernel). Returns (t, nx, ny, nz, cr, cg, cb)."""
+    shape = tox.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    any_pre = jnp.any(active)
+    init = (jnp.where(any_pre, jnp.int32(root), jnp.int32(end)),
+            bt0, zero, zero, zero, zero, zero, zero)
+
+    # hoist the slab-test divisions out of the walk: 1/d computed once
+    # per packet; near-zero components take the BIG branch (same
+    # semantics as _axis_slab)
+    ok_x = jnp.abs(tdx) >= eps
+    ok_y = jnp.abs(tdy) >= eps
+    ok_z = jnp.abs(tdz) >= eps
+    inv_dx = jnp.where(ok_x, 1.0 / jnp.where(ok_x, tdx, 1.0), _BIG)
+    inv_dy = jnp.where(ok_y, 1.0 / jnp.where(ok_y, tdy, 1.0), _BIG)
+    inv_dz = jnp.where(ok_z, 1.0 / jnp.where(ok_z, tdz, 1.0), _BIG)
+
+    def tcond(st):
+        return st[0] < end
+
+    def tbody(st):
+        idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
+        node = node_ref[pl.ds(idx, 1), :]
+        ax1 = (node[0, 0] - tox) * inv_dx
+        ax2 = (node[0, 3] - tox) * inv_dx
+        ay1 = (node[0, 1] - toy) * inv_dy
+        ay2 = (node[0, 4] - toy) * inv_dy
+        az1 = (node[0, 2] - toz) * inv_dz
+        az2 = (node[0, 5] - toz) * inv_dz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax1, ax2), jnp.minimum(ay1, ay2)),
+            jnp.minimum(az1, az2))
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax1, ax2), jnp.maximum(ay1, ay2)),
+            jnp.maximum(az1, az2))
+        hitb = active & (tmin <= tmax) & (tmax > eps) & (tmin < bt)
+        anyhit = jnp.any(hitb)
+        is_leaf = node[0, 7] > 0.5
+        start = node[0, 6].astype(jnp.int32)
+        exitn = node[0, 8].astype(jnp.int32)
+
+        def leaf_fn(carry):
+            bt, gnx, gny, gnz, gcr, gcg, gcb = carry
+            r0 = jax.lax.div(start, jnp.int32(_TRI_SLOTS_PER_ROW))
+            block = tri_ref[pl.ds(r0, leaf_rows), :]
+            for r in range(leaf_rows):
+                for s in range(_TRI_SLOTS_PER_ROW):
+                    c = s * _TRI_STRIDE
+                    e1x = block[r, c + 3]
+                    e1y = block[r, c + 4]
+                    e1z = block[r, c + 5]
+                    e2x = block[r, c + 6]
+                    e2y = block[r, c + 7]
+                    e2z = block[r, c + 8]
+                    # Möller–Trumbore (tracer.cl:640-674), ray vectors x
+                    # triangle scalars
+                    dc2x = tdy * e2z - tdz * e2y
+                    dc2y = tdz * e2x - tdx * e2z
+                    dc2z = tdx * e2y - tdy * e2x
+                    det = e1x * dc2x + e1y * dc2y + e1z * dc2z
+                    det_ok = jnp.abs(det) >= eps
+                    f = 1.0 / jnp.where(det_ok, det, 1.0)
+                    px_ = tox - block[r, c + 0]
+                    py_ = toy - block[r, c + 1]
+                    pz_ = toz - block[r, c + 2]
+                    u = f * (px_ * dc2x + py_ * dc2y + pz_ * dc2z)
+                    ocx = py_ * e1z - pz_ * e1y
+                    ocy = pz_ * e1x - px_ * e1z
+                    ocz = px_ * e1y - py_ * e1x
+                    v = f * (tdx * ocx + tdy * ocy + tdz * ocz)
+                    t = f * (e2x * ocx + e2y * ocy + e2z * ocz)
+                    better = (
+                        hitb & det_ok
+                        & (u >= 0.0) & (u <= 1.0)
+                        & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > eps) & (t < t_max) & (t < bt)
+                    )
+                    # smooth normal n2*u + n3*v + n1*(1-u-v)
+                    # (tracer.cl:669) folded into the select
+                    w1 = 1.0 - u - v
+                    cnx = (block[r, c + 12] * u + block[r, c + 15] * v
+                           + block[r, c + 9] * w1)
+                    cny = (block[r, c + 13] * u + block[r, c + 16] * v
+                           + block[r, c + 10] * w1)
+                    cnz = (block[r, c + 14] * u + block[r, c + 17] * v
+                           + block[r, c + 11] * w1)
+                    bt = jnp.where(better, t, bt)
+                    gnx = jnp.where(better, cnx, gnx)
+                    gny = jnp.where(better, cny, gny)
+                    gnz = jnp.where(better, cnz, gnz)
+                    gcr = jnp.where(better, block[r, c + 18], gcr)
+                    gcg = jnp.where(better, block[r, c + 19], gcg)
+                    gcb = jnp.where(better, block[r, c + 20], gcb)
+            return (bt, gnx, gny, gnz, gcr, gcg, gcb)
+
+        carry = jax.lax.cond(
+            anyhit & is_leaf, leaf_fn, lambda cr: cr,
+            (bt, gnx, gny, gnz, gcr, gcg, gcb),
+        )
+        nidx = jnp.where(anyhit, idx + 1, exitn)
+        return (nidx,) + carry
+
+    st = jax.lax.while_loop(tcond, tbody, init)
+    return st[1], st[2], st[3], st[4], st[5], st[6], st[7]
+
+
 def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                  total_samples: int, tile: Tuple[int, int]):
     """Build the tile kernel body closed over static scene structure."""
@@ -321,130 +441,9 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 
         def traverse_packet(root, end, tox, toy, toz, tdx, tdy, tdz,
                             active, bt0):
-            """Packet skip-link BVH walk: ONE scalar node pointer for the
-            whole ray tile (classic packet tracing on the TPU's
-            scalar-core + VPU split), replacing both the reference's
-            per-work-item stack (tracer.cl:624) and the wavefront path's
-            per-ray skip index. Per iteration: one scalar node fetch, one
-            vectorized slab test, an any-reduce, and (for hit leaves) 8
-            vectorized Möller–Trumbore tests with running-best selects of
-            t / interpolated normal / triangle color."""
-            zero = jnp.zeros(shape, jnp.float32)
-            any_pre = jnp.any(active)
-            # best-t starts at the closest hit among earlier objects, not
-            # +inf: node boxes entered beyond it are pruned immediately,
-            # so packets whose rays are occluded (e.g. the mesh is behind
-            # a wall) fall out of the walk after a handful of nodes
-            init = (jnp.where(any_pre, jnp.int32(root), jnp.int32(end)),
-                    bt0,
-                    zero, zero, zero, zero, zero, zero)
-
-            # hoist the slab-test divisions out of the walk: 1/d computed
-            # once per packet; near-zero components take the BIG branch
-            # (same semantics as _axis_slab)
-            ok_x = jnp.abs(tdx) >= eps
-            ok_y = jnp.abs(tdy) >= eps
-            ok_z = jnp.abs(tdz) >= eps
-            inv_dx = jnp.where(ok_x, 1.0 / jnp.where(ok_x, tdx, 1.0), _BIG)
-            inv_dy = jnp.where(ok_y, 1.0 / jnp.where(ok_y, tdy, 1.0), _BIG)
-            inv_dz = jnp.where(ok_z, 1.0 / jnp.where(ok_z, tdz, 1.0), _BIG)
-
-            def tcond(st):
-                return st[0] < end
-
-            def tbody(st):
-                idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
-                node = node_ref[pl.ds(idx, 1), :]
-                ax1 = (node[0, 0] - tox) * inv_dx
-                ax2 = (node[0, 3] - tox) * inv_dx
-                ay1 = (node[0, 1] - toy) * inv_dy
-                ay2 = (node[0, 4] - toy) * inv_dy
-                az1 = (node[0, 2] - toz) * inv_dz
-                az2 = (node[0, 5] - toz) * inv_dz
-                tmin = jnp.maximum(
-                    jnp.maximum(jnp.minimum(ax1, ax2),
-                                jnp.minimum(ay1, ay2)),
-                    jnp.minimum(az1, az2))
-                tmax = jnp.minimum(
-                    jnp.minimum(jnp.maximum(ax1, ax2),
-                                jnp.maximum(ay1, ay2)),
-                    jnp.maximum(az1, az2))
-                hitb = active & (tmin <= tmax) & (tmax > eps) & (tmin < bt)
-                anyhit = jnp.any(hitb)
-                is_leaf = node[0, 7] > 0.5
-                start = node[0, 6].astype(jnp.int32)
-                exitn = node[0, 8].astype(jnp.int32)
-
-                def leaf_fn(carry):
-                    bt, gnx, gny, gnz, gcr, gcg, gcb = carry
-                    r0 = jax.lax.div(start,
-                                     jnp.int32(_TRI_SLOTS_PER_ROW))
-                    block = tri_ref[pl.ds(r0, leaf_rows), :]
-                    for r in range(leaf_rows):
-                        for s in range(_TRI_SLOTS_PER_ROW):
-                            c = s * _TRI_STRIDE
-                            p1x = block[r, c + 0]
-                            p1y = block[r, c + 1]
-                            p1z = block[r, c + 2]
-                            e1x = block[r, c + 3]
-                            e1y = block[r, c + 4]
-                            e1z = block[r, c + 5]
-                            e2x = block[r, c + 6]
-                            e2y = block[r, c + 7]
-                            e2z = block[r, c + 8]
-                            # Möller–Trumbore (tracer.cl:640-674), ray
-                            # vectors x triangle scalars
-                            dc2x = tdy * e2z - tdz * e2y
-                            dc2y = tdz * e2x - tdx * e2z
-                            dc2z = tdx * e2y - tdy * e2x
-                            det = e1x * dc2x + e1y * dc2y + e1z * dc2z
-                            det_ok = jnp.abs(det) >= eps
-                            f = 1.0 / jnp.where(det_ok, det, 1.0)
-                            px_ = tox - p1x
-                            py_ = toy - p1y
-                            pz_ = toz - p1z
-                            u = f * (px_ * dc2x + py_ * dc2y + pz_ * dc2z)
-                            ocx = py_ * e1z - pz_ * e1y
-                            ocy = pz_ * e1x - px_ * e1z
-                            ocz = px_ * e1y - py_ * e1x
-                            v = f * (tdx * ocx + tdy * ocy + tdz * ocz)
-                            t = f * (e2x * ocx + e2y * ocy + e2z * ocz)
-                            better = (
-                                hitb & det_ok
-                                & (u >= 0.0) & (u <= 1.0)
-                                & (v >= 0.0) & (u + v <= 1.0)
-                                & (t > eps) & (t < t_max) & (t < bt)
-                            )
-                            # smooth normal n2*u + n3*v + n1*(1-u-v)
-                            # (tracer.cl:669) folded into the select
-                            w1 = 1.0 - u - v
-                            cnx = (block[r, c + 12] * u
-                                   + block[r, c + 15] * v
-                                   + block[r, c + 9] * w1)
-                            cny = (block[r, c + 13] * u
-                                   + block[r, c + 16] * v
-                                   + block[r, c + 10] * w1)
-                            cnz = (block[r, c + 14] * u
-                                   + block[r, c + 17] * v
-                                   + block[r, c + 11] * w1)
-                            bt = jnp.where(better, t, bt)
-                            gnx = jnp.where(better, cnx, gnx)
-                            gny = jnp.where(better, cny, gny)
-                            gnz = jnp.where(better, cnz, gnz)
-                            gcr = jnp.where(better, block[r, c + 18], gcr)
-                            gcg = jnp.where(better, block[r, c + 19], gcg)
-                            gcb = jnp.where(better, block[r, c + 20], gcb)
-                    return (bt, gnx, gny, gnz, gcr, gcg, gcb)
-
-                carry = jax.lax.cond(
-                    anyhit & is_leaf, leaf_fn, lambda cr: cr,
-                    (bt, gnx, gny, gnz, gcr, gcg, gcb),
-                )
-                nidx = jnp.where(anyhit, idx + 1, exitn)
-                return (nidx,) + carry
-
-            st = jax.lax.while_loop(tcond, tbody, init)
-            return st[1], st[2], st[3], st[4], st[5], st[6], st[7]
+            return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
+                                    t_max, root, end, tox, toy, toz,
+                                    tdx, tdy, tdz, active, bt0)
 
         def sample_body(n, acc):
             acc_r, acc_g, acc_b = acc
@@ -911,105 +910,11 @@ def _make_intersect_kernel(meta: SceneMeta, cfg: RenderConfig,
         shape = ox.shape
         zero = jnp.zeros(shape, jnp.float32)
 
-        def traverse(root, end, tox, toy, toz, tdx, tdy, tdz, active, bt0):
-            any_pre = jnp.any(active)
-            init = (jnp.where(any_pre, jnp.int32(root), jnp.int32(end)),
-                    bt0, zero, zero, zero, zero, zero, zero)
-            ok_x = jnp.abs(tdx) >= eps
-            ok_y = jnp.abs(tdy) >= eps
-            ok_z = jnp.abs(tdz) >= eps
-            inv_dx = jnp.where(ok_x, 1.0 / jnp.where(ok_x, tdx, 1.0), _BIG)
-            inv_dy = jnp.where(ok_y, 1.0 / jnp.where(ok_y, tdy, 1.0), _BIG)
-            inv_dz = jnp.where(ok_z, 1.0 / jnp.where(ok_z, tdz, 1.0), _BIG)
-
-            def tcond(st):
-                return st[0] < end
-
-            def tbody(st):
-                idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
-                node = node_ref[pl.ds(idx, 1), :]
-                ax1 = (node[0, 0] - tox) * inv_dx
-                ax2 = (node[0, 3] - tox) * inv_dx
-                ay1 = (node[0, 1] - toy) * inv_dy
-                ay2 = (node[0, 4] - toy) * inv_dy
-                az1 = (node[0, 2] - toz) * inv_dz
-                az2 = (node[0, 5] - toz) * inv_dz
-                tmin = jnp.maximum(
-                    jnp.maximum(jnp.minimum(ax1, ax2),
-                                jnp.minimum(ay1, ay2)),
-                    jnp.minimum(az1, az2))
-                tmax = jnp.minimum(
-                    jnp.minimum(jnp.maximum(ax1, ax2),
-                                jnp.maximum(ay1, ay2)),
-                    jnp.maximum(az1, az2))
-                hitb = active & (tmin <= tmax) & (tmax > eps) & (tmin < bt)
-                anyhit = jnp.any(hitb)
-                is_leaf = node[0, 7] > 0.5
-                start = node[0, 6].astype(jnp.int32)
-                exitn = node[0, 8].astype(jnp.int32)
-
-                def leaf_fn(carry):
-                    bt, gnx, gny, gnz, gcr, gcg, gcb = carry
-                    r0 = jax.lax.div(start, jnp.int32(_TRI_SLOTS_PER_ROW))
-                    block = tri_ref[pl.ds(r0, leaf_rows), :]
-                    for r in range(leaf_rows):
-                        for s in range(_TRI_SLOTS_PER_ROW):
-                            c = s * _TRI_STRIDE
-                            e1x = block[r, c + 3]
-                            e1y = block[r, c + 4]
-                            e1z = block[r, c + 5]
-                            e2x = block[r, c + 6]
-                            e2y = block[r, c + 7]
-                            e2z = block[r, c + 8]
-                            dc2x = tdy * e2z - tdz * e2y
-                            dc2y = tdz * e2x - tdx * e2z
-                            dc2z = tdx * e2y - tdy * e2x
-                            det = e1x * dc2x + e1y * dc2y + e1z * dc2z
-                            det_ok = jnp.abs(det) >= eps
-                            f = 1.0 / jnp.where(det_ok, det, 1.0)
-                            px_ = tox - block[r, c + 0]
-                            py_ = toy - block[r, c + 1]
-                            pz_ = toz - block[r, c + 2]
-                            u = f * (px_ * dc2x + py_ * dc2y + pz_ * dc2z)
-                            ocx = py_ * e1z - pz_ * e1y
-                            ocy = pz_ * e1x - px_ * e1z
-                            ocz = px_ * e1y - py_ * e1x
-                            v = f * (tdx * ocx + tdy * ocy + tdz * ocz)
-                            t = f * (e2x * ocx + e2y * ocy + e2z * ocz)
-                            better = (
-                                hitb & det_ok
-                                & (u >= 0.0) & (u <= 1.0)
-                                & (v >= 0.0) & (u + v <= 1.0)
-                                & (t > eps) & (t < t_max) & (t < bt)
-                            )
-                            w1 = 1.0 - u - v
-                            cnx = (block[r, c + 12] * u
-                                   + block[r, c + 15] * v
-                                   + block[r, c + 9] * w1)
-                            cny = (block[r, c + 13] * u
-                                   + block[r, c + 16] * v
-                                   + block[r, c + 10] * w1)
-                            cnz = (block[r, c + 14] * u
-                                   + block[r, c + 17] * v
-                                   + block[r, c + 11] * w1)
-                            bt = jnp.where(better, t, bt)
-                            gnx = jnp.where(better, cnx, gnx)
-                            gny = jnp.where(better, cny, gny)
-                            gnz = jnp.where(better, cnz, gnz)
-                            gcr = jnp.where(better, block[r, c + 18], gcr)
-                            gcg = jnp.where(better, block[r, c + 19], gcg)
-                            gcb = jnp.where(better, block[r, c + 20], gcb)
-                    return (bt, gnx, gny, gnz, gcr, gcg, gcb)
-
-                carry = jax.lax.cond(
-                    anyhit & is_leaf, leaf_fn, lambda cr: cr,
-                    (bt, gnx, gny, gnz, gcr, gcg, gcb),
-                )
-                nidx = jnp.where(anyhit, idx + 1, exitn)
-                return (nidx,) + carry
-
-            st = jax.lax.while_loop(tcond, tbody, init)
-            return st[1], st[2], st[3], st[4], st[5], st[6], st[7]
+        def traverse(root, end, tox, toy, toz, tdx, tdy, tdz, active,
+                     bt0):
+            return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
+                                    t_max, root, end, tox, toy, toz,
+                                    tdx, tdy, tdz, active, bt0)
 
         best_t = jnp.full(shape, _BIG, jnp.float32)
         w_idx = jnp.zeros(shape, jnp.int32)
