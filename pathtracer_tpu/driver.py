@@ -52,7 +52,8 @@ class RenderStats:
 
 
 def _checkpoint_save(path: str, accum: np.ndarray, chunks_done: int,
-                     cfg: RenderConfig) -> None:
+                     cfg: RenderConfig, backend: str,
+                     checkpoint_every: int) -> None:
     tmp = path + ".tmp.npz"
     np.savez(tmp,
              accum=accum, chunks_done=chunks_done,
@@ -61,18 +62,32 @@ def _checkpoint_save(path: str, accum: np.ndarray, chunks_done: int,
                  "samples": cfg.samples,
                  "samples_per_pass": cfg.samples_per_pass,
                  "seed": cfg.seed,
+                 # backend + interval determine the RNG stream layout
+                 # (pallas segments seed per segment start), so a resume
+                 # must match them for bit-exact continuation
+                 "backend": backend,
+                 "checkpoint_every": checkpoint_every,
              }))
     os.replace(tmp, path)
 
 
-def _checkpoint_load(path: str, cfg: RenderConfig):
+def _checkpoint_load(path: str, cfg: RenderConfig, backend: str,
+                     checkpoint_every: int):
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
-        for k in ("width", "height", "samples", "samples_per_pass", "seed"):
-            if meta[k] != getattr(cfg, k):
+        want = {
+            "width": cfg.width, "height": cfg.height,
+            "samples": cfg.samples,
+            "samples_per_pass": cfg.samples_per_pass,
+            "seed": cfg.seed,
+            "backend": backend,
+            "checkpoint_every": checkpoint_every,
+        }
+        for k, v in want.items():
+            if meta.get(k, v) != v:
                 raise ValueError(
                     f"checkpoint {path} was written for {k}={meta[k]}, "
-                    f"current config has {getattr(cfg, k)}"
+                    f"current config has {v}"
                 )
         return z["accum"].copy(), int(z["chunks_done"])
 
@@ -120,13 +135,15 @@ def render_driver(
             and cfg.debug_ray < 0     # so does the per-ray probe
             and pk.supports_scene(meta))
     )
+    backend_name = "pallas" if use_pallas else "wavefront"
     log.info("backend: %s", "pallas megakernel" if use_pallas
              else "wavefront")
 
     accum = np.zeros((H * W, 3), dtype=np.float64)
     start_chunk = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        accum, start_chunk = _checkpoint_load(checkpoint_path, cfg)
+        accum, start_chunk = _checkpoint_load(
+            checkpoint_path, cfg, backend_name, checkpoint_every)
         log.info("resumed from %s at chunk %d/%d",
                  checkpoint_path, start_chunk, n_chunks)
 
@@ -263,11 +280,13 @@ def render_driver(
             if checkpoint_path and checkpoint_every > 0:
                 accum += to_np(dev_acc)
                 dev_acc = None
-                _checkpoint_save(checkpoint_path, accum, c, cfg)
+                _checkpoint_save(checkpoint_path, accum, c, cfg,
+                                 backend_name, checkpoint_every)
         if dev_acc is not None:
             accum += to_np(dev_acc)
             if checkpoint_path:
-                _checkpoint_save(checkpoint_path, accum, c, cfg)
+                _checkpoint_save(checkpoint_path, accum, c, cfg,
+                                 backend_name, checkpoint_every)
 
     stats.wall_s = time.perf_counter() - t_total
     total_spp = n_chunks * spp_chunk
