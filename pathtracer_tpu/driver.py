@@ -238,14 +238,17 @@ def render_driver(
     if checkpoint_every > 0:
         seg_len = checkpoint_every
     else:
-        # cap per-device-call work (~128 spp default, PT_SEG_SPP to tune):
-        # one moderate kernel compile gets reused across all segments (a
-        # single monolithic call would compile a huge program), and the
-        # partial sums stay ON DEVICE between segments — the tunnel's
-        # ~8.5 MB/s device->host path is only paid at checkpoints and
-        # once at the end
-        seg_spp = int(os.environ.get("PT_SEG_SPP", "128"))
-        seg_len = max(1, min(n_chunks, seg_spp // spp_chunk))
+        # cap per-device-call work (PT_SEG_SPP to tune): one moderate
+        # kernel compile gets reused across all segments (a single
+        # monolithic call would compile a huge program), and the partial
+        # sums stay ON DEVICE between segments — the tunnel's ~8.5 MB/s
+        # device->host path is only paid at checkpoints and at the end.
+        # Mesh scenes run ~300x fewer samples/s than primitive scenes, so
+        # their cap is much smaller or a single call outlasts the device
+        # watchdog (a 128-spp teapot segment is an ~80 s kernel).
+        default_spp = "128" if not meta.has_groups else "8"
+        seg_spp = int(os.environ.get("PT_SEG_SPP", default_spp))
+        seg_len = max(1, min(n_chunks, max(1, seg_spp // spp_chunk)))
     stats = RenderStats(
         backend="pallas" if use_pallas else "wavefront")
     t_total = time.perf_counter()
