@@ -54,6 +54,38 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     return W * H * spp, best
 
 
+def bench_diff(cfg, sc, arrays, meta, spp):
+    """fwd+bwd (differentiable render + gradient) throughput — the
+    north-star 'fwd+bwd per chip' dimension; the reference has no
+    gradients at all."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracer_tpu.diff.grad import extract_params, train_step
+    from pathtracer_tpu.render.vec3 import Vec3
+
+    W, H = cfg.width, cfg.height
+    cam = sc.camera.pack()
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel(), jnp.int32)
+    py = jnp.asarray(ys.ravel(), jnp.int32)
+    params = extract_params(arrays)
+    target = Vec3.zeros((px.shape[0],), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    n = max(1, spp // 8)  # gradient steps at 1 spp each
+
+    step = jax.jit(lambda p: train_step(
+        p, arrays, meta, cfg, cam, px, py, key, 1, target))
+    p2, _ = step(params)
+    jax.tree.leaves(p2)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        p2, _ = step(p2)
+    jax.tree.leaves(p2)[0].block_until_ready()
+    return W * H * n, time.perf_counter() - t0
+
+
 def bench_wavefront(cfg, sc, arrays, meta, spp):
     import jax
     import jax.numpy as jnp
@@ -93,7 +125,8 @@ def main():
     sc = get_scene("reference", cfg)
     arrays, meta = sc.pack()
 
-    fn = bench_pallas if backend == "pallas" else bench_wavefront
+    fn = {"pallas": bench_pallas, "wavefront": bench_wavefront,
+          "diff": bench_diff}[backend]
     try:
         samples, dt = fn(cfg, sc, arrays, meta, spp)
     except Exception:
