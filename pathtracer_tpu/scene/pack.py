@@ -160,7 +160,7 @@ def _pack_u32(atlas: np.ndarray) -> np.ndarray:
 
 def pack_scene(
     objects: Sequence[Shape],
-    leaf_size: int = 16,
+    leaf_size: Optional[int] = None,
     max_objects: Optional[int] = None,
     dtype=jnp.float32,
     textures: Sequence[np.ndarray] = (),
@@ -170,6 +170,17 @@ def pack_scene(
     n = len(objects)
     no = max_objects or max(16, n)
     assert n <= no, f"{n} objects > padded capacity {no}"
+
+    if leaf_size is None:
+        # swept on TPU packet traversal (docs/PERFORMANCE.md): small
+        # meshes prefer fatter leaves (scalar node iterations dominate),
+        # large meshes prefer 16 (leaf work starts to matter)
+        total_tris = sum(
+            (s.soup.n_tris if getattr(s, "soup", None) is not None
+             else len(s.all_triangles()))
+            for s in objects if isinstance(s, Group)
+        )
+        leaf_size = 32 if 0 < total_tris <= 8000 else 16
 
     np_dtype = np.float64  # build in f64, cast at the end
 
