@@ -118,3 +118,74 @@ def render_sharded(
     out = np.empty((P_total + pad, 3), dtype=np.float32)
     out[perm] = flat
     return out[:P_total].reshape(H, W, 3)
+
+
+def render_sharded_pallas(
+    scn: SceneArrays,
+    meta: SceneMeta,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    key: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Distributed megakernel render: each device runs the Pallas
+    megakernel (render/pallas_kernel.py) on its shard of ray-tile rows;
+    the 'spp' axis splits the sample budget and psum-reduces partials.
+    Scene tables are replicated (SMEM/VMEM-resident per chip). Returns
+    [H, W, 3] float32."""
+    from ..render import pallas_kernel as pk
+
+    assert pk.supports_scene(meta), "scene not supported by the megakernel"
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    W, H = camera.width, camera.height
+    S, L = pk.default_tile(meta)
+    n_pix_shards = mesh.shape["pixels"]
+    spp_axis = mesh.shape["spp"]
+    local_spp = max(1, cfg.samples // spp_axis)
+    total_spp = local_spp * spp_axis
+
+    # tile rows padded so each pixel shard holds a whole number of tiles
+    n_pix = W * H
+    rows = -(-n_pix // L)
+    rows += (-rows) % (S * n_pix_shards)
+    ids = np.arange(rows * L)
+    xs = (ids % W).astype(np.int32).reshape(rows, L)
+    ys = np.minimum(np.minimum(ids // W, H - 1),
+                    H - 1).astype(np.int32).reshape(rows, L)
+
+    shard = NamedSharding(mesh, P("pixels"))
+    px = jax.device_put(jnp.asarray(xs), shard)
+    py = jax.device_put(jnp.asarray(ys), shard)
+    cam_vec = jnp.asarray(pk.build_camera_vec(camera.pack(jnp.float32)))
+    obj = jnp.asarray(pk.build_scene_table(scn, meta))
+    nodes, tris = pk.build_mesh_tables(scn, meta)
+    nodes, tris = jnp.asarray(nodes), jnp.asarray(tris)
+
+    def body(cam_vec, obj, nodes, tris, px_s, py_s):
+        # independent PRNG stream per (pixel shard, spp rank)
+        pix_rank = jax.lax.axis_index("pixels")
+        spp_rank = jax.lax.axis_index("spp")
+        seed = (jnp.int32(cfg.seed) * 7919
+                + pix_rank * jnp.int32(spp_axis) + spp_rank + 1)
+        r, g, b = pk.trace_tiles(
+            seed[None], cam_vec, obj, nodes, tris, px_s, py_s,
+            meta=meta, cfg=cfg, spp=local_spp, total_samples=cfg.samples,
+            tile=(S, L),
+        )
+        return (jax.lax.psum(r, "spp"), jax.lax.psum(g, "spp"),
+                jax.lax.psum(b, "spp"))
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("pixels"), P("pixels")),
+            out_specs=(P("pixels"), P("pixels"), P("pixels")),
+            check_vma=False,
+        )
+    )
+    r, g, b = fn(cam_vec, obj, nodes, tris, px, py)
+    img = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    return (img.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
+            / float(total_spp))
