@@ -161,7 +161,11 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
 
     t0 = time.perf_counter()
-    sc = get_scene(args.scene, cfg)
+    try:
+        sc = get_scene(args.scene, cfg)
+    except KeyError as e:
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        return 2
     import jax.numpy as jnp
 
     arrays, meta = sc.pack(

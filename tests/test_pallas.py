@@ -82,6 +82,25 @@ def test_megakernel_mesh_matches_wavefront_mean(small_cfg):
 
 
 @_tpu
+def test_wavefront_pallas_intersect_matches_cpu_oracle(small_cfg):
+    """The wavefront integrator's pallas intersect kernel (used for mesh
+    scenes on real TPUs) must agree with the pure-XLA walk: identical RNG
+    streams, so the images match to f32 rounding."""
+    import jax
+
+    from pathtracer_tpu.render.integrator import render
+
+    sc = get_scene("teapot", small_cfg)
+    arrays, meta = sc.pack()
+    img_t = render(arrays, meta, sc.camera, small_cfg)  # pallas intersect
+    with jax.default_device(jax.devices("cpu")[0]):
+        a2, m2 = sc.pack()
+        img_c = render(a2, m2, sc.camera, small_cfg)    # XLA walk
+    assert np.isfinite(img_t).all()
+    assert np.abs(img_t - img_c).mean() < 5e-3
+
+
+@_tpu
 def test_megakernel_deterministic_per_seed(small_cfg):
     sc = get_scene("reference", small_cfg)
     arrays, meta = sc.pack()
