@@ -15,10 +15,12 @@ through the whole sample loop x bounce loop entirely in VMEM/registers:
 - the bounce loop early-exits per tile once every ray has died, mirroring
   the reference's per-work-item break (tracer.cl:1107) at tile granularity
 
-Covers scenes of plane/sphere/cylinder/box primitives with untextured
-materials (all roulette branches: reflect / thin-shell / refract / diffuse).
-Scenes with triangle meshes (BVH) or textures fall back to the wavefront
-integrator (integrator.py); `supports_scene` decides.
+Covers untextured scenes of plane/sphere/cylinder/box primitives AND BVH
+triangle meshes (packet traversal, _packet_traverse), with all roulette
+branches (reflect / thin-shell / refract / diffuse). Textured scenes fall
+back to the wavefront integrator (integrator.py), which itself uses the
+intersect-only kernel below for mesh scenes on real TPUs;
+`supports_scene` / `supports_intersect` decide.
 
 Numerics are float32 like the wavefront path; estimator parity is verified
 statistically in tests/test_pallas.py (same mean image, independent noise).
