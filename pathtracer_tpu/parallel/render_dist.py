@@ -28,6 +28,31 @@ from ..render.vec3 import Vec3
 from ..scene.pack import SceneArrays, SceneMeta
 
 
+def _put_sharded(arr, sharding):
+    """Distribute a host array over a (possibly multi-process) mesh.
+
+    Single-process: plain device_put. Multi-process (multi-controller
+    jax.distributed): every process holds the SAME full host array, so
+    each builds its addressable shards via make_array_from_callback — the
+    multihost equivalent of the reference's single EnqueueWriteBuffer
+    (ocltracer.go:314-340)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx])
+
+
+def _fetch(x) -> np.ndarray:
+    """Materialize a global sharded array on every host (the one
+    device->host transfer of the pipeline; DCN carries only this)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _shard_body(scn, cam, px, py, key, meta: SceneMeta, cfg: RenderConfig,
                 n_chunks: int, spp_axis_size: int):
     """Per-device body: render this device's pixel shard for its slice of
@@ -89,8 +114,17 @@ def render_sharded(
     perm = ids.reshape(-1, n_pix_shards).T.reshape(-1)
 
     shard = NamedSharding(mesh, P("pixels"))
-    px = jax.device_put(jnp.asarray(xs[perm], jnp.int32), shard)
-    py = jax.device_put(jnp.asarray(ys[perm], jnp.int32), shard)
+    rep = NamedSharding(mesh, P())
+    px = _put_sharded(np.asarray(xs[perm], np.int32), shard)
+    py = _put_sharded(np.asarray(ys[perm], np.int32), shard)
+    if jax.process_count() > 1:
+        # commit replicated operands to the global mesh explicitly;
+        # host-local arrays cannot feed a multi-controller computation
+        scn = jax.tree_util.tree_map(
+            lambda a: _put_sharded(a, rep), scn)
+        cam = jax.tree_util.tree_map(
+            lambda a: _put_sharded(a, rep), cam)
+        key = _put_sharded(np.asarray(key), rep)
 
     body = functools.partial(
         _shard_body, meta=meta, cfg=cfg, n_chunks=n_chunks,
@@ -112,7 +146,7 @@ def render_sharded(
     acc = fn(scn, cam, px, py, key)
 
     flat = np.stack(
-        [np.asarray(acc.x), np.asarray(acc.y), np.asarray(acc.z)], axis=-1
+        [_fetch(acc.x), _fetch(acc.y), _fetch(acc.z)], axis=-1
     ).astype(np.float32) / float(total_samples)
     # undo interleave, drop padding
     out = np.empty((P_total + pad, 3), dtype=np.float32)
@@ -155,12 +189,18 @@ def render_sharded_pallas(
                     H - 1).astype(np.int32).reshape(rows, L)
 
     shard = NamedSharding(mesh, P("pixels"))
-    px = jax.device_put(jnp.asarray(xs), shard)
-    py = jax.device_put(jnp.asarray(ys), shard)
-    cam_vec = jnp.asarray(pk.build_camera_vec(camera.pack(jnp.float32)))
-    obj = jnp.asarray(pk.build_scene_table(scn, meta))
+    rep = NamedSharding(mesh, P())
+    px = _put_sharded(xs, shard)
+    py = _put_sharded(ys, shard)
+    cam_vec = pk.build_camera_vec(camera.pack(jnp.float32))
+    obj = pk.build_scene_table(scn, meta)
     nodes, tris = pk.build_mesh_tables(scn, meta)
-    nodes, tris = jnp.asarray(nodes), jnp.asarray(tris)
+    if jax.process_count() > 1:
+        cam_vec, obj, nodes, tris = (
+            _put_sharded(a, rep) for a in (cam_vec, obj, nodes, tris))
+    else:
+        cam_vec, obj, nodes, tris = (
+            jnp.asarray(a) for a in (cam_vec, obj, nodes, tris))
 
     def body(cam_vec, obj, nodes, tris, px_s, py_s):
         # independent PRNG stream per (pixel shard, spp rank)
@@ -186,6 +226,6 @@ def render_sharded_pallas(
         )
     )
     r, g, b = fn(cam_vec, obj, nodes, tris, px, py)
-    img = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    img = np.stack([_fetch(r), _fetch(g), _fetch(b)], axis=-1)
     return (img.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
             / float(total_spp))

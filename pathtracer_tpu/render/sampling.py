@@ -13,13 +13,17 @@ SURVEY.md section 2.3 RNG distribution row).
 """
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax.numpy as jnp
 
 from .vec3 import Vec3
 
-_GOLDEN = (jnp.sqrt(5.0) + 1.0) / 2.0
+# host constant — a jnp expression here would initialize the jax backend
+# at import time, which breaks jax.distributed.initialize ordering on
+# multi-host (tests/_multihost_worker.py)
+_GOLDEN = (math.sqrt(5.0) + 1.0) / 2.0
 
 
 def sunflower(amount_points: int, alpha: float, point_number: jnp.ndarray
