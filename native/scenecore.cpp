@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -285,6 +286,12 @@ struct Builder {
       return;
     }
 
+    // Snapped-SAH split: SAH sweep over the 3 sorted-centroid axes with
+    // the cut snapped to a multiple of leaf_size (full leaves => the
+    // minimum possible node count, which is what the TPU packet
+    // traversal pays for). Bit-identical to the python emit path
+    // (scene/bvh.py _build_tree): stable sorts, same fp operation
+    // order, strict-< first-min tie-breaks over axes then cuts.
     double cmin[3] = {1e300, 1e300, 1e300};
     double cmax[3] = {-1e300, -1e300, -1e300};
     for (int32_t id : ids)
@@ -293,27 +300,76 @@ struct Builder {
         cmin[a] = std::min(cmin[a], v);
         cmax[a] = std::max(cmax[a], v);
       }
-    double ext[3] = {cmax[0] - cmin[0], cmax[1] - cmin[1],
-                     cmax[2] - cmin[2]};
-    int axis = 0;  // argmax, first max wins (numpy argmax semantics)
-    if (ext[1] > ext[axis]) axis = 1;
-    if (ext[2] > ext[axis]) axis = 2;
+    const size_t n = ids.size();
+    const size_t n_leaves = (n + leaf_size - 1) / leaf_size;
 
-    size_t half = ids.size() / 2;
-    std::vector<int32_t> left, right;
-    if (ext[axis] <= 0.0) {
-      left.assign(ids.begin(), ids.begin() + static_cast<long>(half));
-      right.assign(ids.begin() + static_cast<long>(half), ids.end());
-    } else {
+    auto area = [](const double *mn, const double *mx) {
+      double d0 = mx[0] - mn[0], d1 = mx[1] - mn[1], d2 = mx[2] - mn[2];
+      return d0 * d1 + d1 * d2 + d2 * d0;
+    };
+
+    double best_cost = std::numeric_limits<double>::infinity();
+    std::vector<int32_t> best_order;
+    size_t best_cut = 0;
+    std::vector<double> lmn(n * 3), lmx(n * 3), rmn(n * 3), rmx(n * 3);
+    for (int axis = 0; axis < 3; ++axis) {
+      if (cmax[axis] - cmin[axis] <= 0.0) continue;
       std::vector<int32_t> order(ids);
       std::stable_sort(order.begin(), order.end(),
                        [&](int32_t a, int32_t b) {
                          return cent[3 * static_cast<size_t>(a) + axis] <
                                 cent[3 * static_cast<size_t>(b) + axis];
                        });
-      left.assign(order.begin(), order.begin() + static_cast<long>(half));
-      right.assign(order.begin() + static_cast<long>(half), order.end());
+      for (size_t i = 0; i < n; ++i) {
+        size_t id = static_cast<size_t>(order[i]);
+        for (int a = 0; a < 3; ++a) {
+          double mnv = bmin[3 * id + a], mxv = bmax[3 * id + a];
+          lmn[3 * i + a] = i ? std::min(lmn[3 * (i - 1) + a], mnv) : mnv;
+          lmx[3 * i + a] = i ? std::max(lmx[3 * (i - 1) + a], mxv) : mxv;
+        }
+      }
+      for (size_t i = n; i-- > 0;) {
+        size_t id = static_cast<size_t>(order[i]);
+        for (int a = 0; a < 3; ++a) {
+          double mnv = bmin[3 * id + a], mxv = bmax[3 * id + a];
+          rmn[3 * i + a] =
+              i + 1 < n ? std::min(rmn[3 * (i + 1) + a], mnv) : mnv;
+          rmx[3 * i + a] =
+              i + 1 < n ? std::max(rmx[3 * (i + 1) + a], mxv) : mxv;
+        }
+      }
+      double ax_best = std::numeric_limits<double>::infinity();
+      size_t ax_cut = 0;
+      for (size_t cut = static_cast<size_t>(leaf_size); cut < n;
+           cut += static_cast<size_t>(leaf_size)) {
+        double cost =
+            area(&lmn[3 * (cut - 1)], &lmx[3 * (cut - 1)]) *
+                static_cast<double>(cut) +
+            area(&rmn[3 * cut], &rmx[3 * cut]) *
+                static_cast<double>(n - cut);
+        if (cost < ax_best) {
+          ax_best = cost;
+          ax_cut = cut;
+        }
+      }
+      if (ax_cut && ax_best < best_cost) {
+        best_cost = ax_best;
+        best_order = order;
+        best_cut = ax_cut;
+      }
     }
+    if (best_order.empty()) {
+      // all centroids identical: snapped even split, original order
+      best_order = ids;
+      best_cut = std::min(static_cast<size_t>(leaf_size) * (n_leaves / 2),
+                          n - 1);
+    }
+    std::vector<int32_t> left(best_order.begin(),
+                              best_order.begin() +
+                                  static_cast<long>(best_cut));
+    std::vector<int32_t> right(best_order.begin() +
+                                   static_cast<long>(best_cut),
+                               best_order.end());
     build(left);
     build(right);
     out->exit_idx[my] = static_cast<int32_t>(out->bb_min.size() / 3);

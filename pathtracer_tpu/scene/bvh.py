@@ -140,6 +140,24 @@ class _Node:
 
 
 def _build_tree(bb_min, bb_max, centroids, ids, leaf_size) -> _Node:
+    """Snapped-SAH top-down build.
+
+    Split choice is SAH (minimize area_L*count_L + area_R*count_R over the
+    sorted-centroid sweeps of all 3 axes) with the cut SNAPPED to a
+    multiple of leaf_size. The snap matters because of the device cost
+    model: packet traversal (_packet_traverse) pays one while-iteration
+    per visited node and leaves cost a FIXED vectorized unroll regardless
+    of occupancy, so every leaf should be completely full — a snapped tree
+    has the minimum possible ceil(N/leaf_size) leaves / 2*ceil(..)-1
+    nodes. On teapot/gopher this cuts bounce-packet iterations ~1.3x at
+    equal leaf size vs the previous median-count split (and the fuller
+    leaves shrink the padded triangle pool as well); see
+    tools/bvh_experiment.py.
+
+    Deterministic and bit-identical to the native builder
+    (native/scenecore.cpp sah_snap_split): stable sorts, fixed operation
+    order, strict-< first-min tie-breaking over axes then cut positions.
+    """
     node = _Node()
     node.bb_min = bb_min[ids].min(axis=0)
     node.bb_max = bb_max[ids].max(axis=0)
@@ -148,17 +166,44 @@ def _build_tree(bb_min, bb_max, centroids, ids, leaf_size) -> _Node:
         return node
 
     c = centroids[ids]
-    ext = c.max(axis=0) - c.min(axis=0)
-    axis = int(np.argmax(ext))
-    if ext[axis] <= 0.0:
-        # all centroids identical: arbitrary even split
-        half = len(ids) // 2
-        order = np.arange(len(ids))
-    else:
+    cmin = c.min(axis=0)
+    cmax = c.max(axis=0)
+    n = len(ids)
+    n_leaves = -(-n // leaf_size)
+    best_cost = np.inf
+    best_order = None
+    best_cut = 0
+    for axis in range(3):
+        if cmax[axis] - cmin[axis] <= 0.0:
+            continue
         order = np.argsort(c[:, axis], kind="stable")
-        half = len(ids) // 2
-    node.left = _build_tree(bb_min, bb_max, centroids, ids[order[:half]], leaf_size)
-    node.right = _build_tree(bb_min, bb_max, centroids, ids[order[half:]], leaf_size)
+        smin = bb_min[ids[order]]
+        smax = bb_max[ids[order]]
+        lmn = np.minimum.accumulate(smin, axis=0)
+        lmx = np.maximum.accumulate(smax, axis=0)
+        rmn = np.minimum.accumulate(smin[::-1], axis=0)[::-1]
+        rmx = np.maximum.accumulate(smax[::-1], axis=0)[::-1]
+        cuts = np.arange(leaf_size, n, leaf_size)
+
+        def _area(mn, mx):
+            d = mx - mn
+            return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+        cost = (_area(lmn[cuts - 1], lmx[cuts - 1]) * cuts
+                + _area(rmn[cuts], rmx[cuts]) * (n - cuts))
+        k = int(np.argmin(cost))
+        if cost[k] < best_cost:
+            best_cost = float(cost[k])
+            best_order = order
+            best_cut = int(cuts[k])
+    if best_order is None:
+        # all centroids identical: snapped even split, original order
+        best_order = np.arange(n)
+        best_cut = min(leaf_size * (n_leaves // 2), n - 1)
+    node.left = _build_tree(bb_min, bb_max, centroids,
+                            ids[best_order[:best_cut]], leaf_size)
+    node.right = _build_tree(bb_min, bb_max, centroids,
+                             ids[best_order[best_cut:]], leaf_size)
     return node
 
 

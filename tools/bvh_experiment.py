@@ -219,23 +219,27 @@ def packet_trace(tree, tris, o, d, eps=1e-4):
         if anyhit and is_leaf[idx]:
             leafs += 1
             s0 = start[idx]
-            for s in slots[s0:s0 + leaf_size]:
-                if s < 0:
-                    continue
-                e1 = e1s[s]
-                e2 = e2s[s]
-                p1 = p1s[s]
-                dc2 = np.cross(d, e2)
-                det = (e1 * dc2).sum(axis=1)
+            sl = slots[s0:s0 + leaf_size]
+            sl = sl[sl >= 0]
+            if len(sl):
+                # vectorized over slots AND rays: [S,1,3] x [1,R,3]
+                e1 = e1s[sl][:, None, :]
+                e2 = e2s[sl][:, None, :]
+                p1 = p1s[sl][:, None, :]
+                dn = d[None, :, :]
+                dc2 = np.cross(dn, e2)
+                det = (e1 * dc2).sum(axis=2)          # [S,R]
                 ok = np.abs(det) >= eps
                 f = 1.0 / np.where(ok, det, 1.0)
-                pv = o - p1
-                u = f * (pv * dc2).sum(axis=1)
+                pv = o[None, :, :] - p1
+                u = f * (pv * dc2).sum(axis=2)
                 oc = np.cross(pv, e1)
-                v = f * (d * oc).sum(axis=1)
-                t = f * (e2 * oc).sum(axis=1)
-                better = (hit & ok & (u >= 0) & (u <= 1) & (v >= 0)
-                          & (u + v <= 1) & (t > eps) & (t < bt))
+                v = f * (dn * oc).sum(axis=2)
+                t = f * (e2 * oc).sum(axis=2)
+                good = (ok & (u >= 0) & (u <= 1) & (v >= 0)
+                        & (u + v <= 1) & (t > eps))
+                t = np.where(good, t, 1e30).min(axis=0)  # [R]
+                better = hit & (t < bt)
                 bt = np.where(better, t, bt)
                 hit_p1 = np.where(better[:, None], o + d * t[:, None],
                                   hit_p1)
