@@ -1,13 +1,18 @@
 """Render driver: chunked rendering with progress logging, throughput
-metrics, checkpoint/resume, and optional profiler traces.
+metrics, checkpoint/resume, failure recovery, and optional profiler traces.
 
 Equivalent of the reference's render driver (internal/app/tracer/
 pathtracer.go:19-39, renderer.go:40-75) plus the auxiliary subsystems the
 reference lacks (SURVEY.md §5): the reference's only resiliency mechanism is
-4-row batching against GPU watchdogs (ocltracer.go:212-223) and it cannot
-resume a render; here every sample-chunk segment is checkpointable and a
-render resumes exactly (the RNG is counter-based, keyed by global chunk
-index, so the restarted stream is identical).
+4-row batching against GPU watchdogs (ocltracer.go:212-223), every error
+path is Fatalf, and it cannot resume a render. Here every sample-chunk
+segment is checkpointable, a render resumes exactly (the RNG is
+counter-based, keyed by global chunk index, so the restarted stream is
+identical), and device failures (e.g. a TPU worker crash / watchdog kill)
+are detected and recovered in-process: partial sums flush to host
+periodically, and on failure the driver waits out the device outage and
+re-renders only the chunks since the last flush. PT_FAULT_INJECT=<chunk>
+injects a synthetic failure for testing the recovery path.
 """
 from __future__ import annotations
 
@@ -27,6 +32,23 @@ from .scene.pack import SceneArrays, SceneMeta
 log = logging.getLogger("pathtracer_tpu")
 
 
+class DeviceFailure(RuntimeError):
+    """Synthetic failure raised by PT_FAULT_INJECT (fault injection for
+    exercising the recovery path without crashing real hardware)."""
+
+
+# substrings of exception text that indicate a recoverable device outage
+# (the axon TPU tunnel reports crashes/watchdog kills as UNAVAILABLE and
+# stays wedged for a couple of minutes afterwards)
+_RECOVERABLE = ("UNAVAILABLE", "worker process crashed", "DEADLINE",
+                "socket closed", "DeviceFailure")
+
+
+def _is_recoverable(exc: BaseException) -> bool:
+    text = f"{type(exc).__name__}: {exc}"
+    return any(s in text for s in _RECOVERABLE)
+
+
 @dataclasses.dataclass
 class RenderStats:
     """Throughput metrics (the reference only logs wall time per batch,
@@ -35,6 +57,7 @@ class RenderStats:
     samples: int = 0
     backend: str = ""
     segments: int = 0
+    recoveries: int = 0
 
     @property
     def msamples_per_sec(self) -> float:
@@ -47,6 +70,7 @@ class RenderStats:
             "msamples_per_sec": round(self.msamples_per_sec, 3),
             "backend": self.backend,
             "segments": self.segments,
+            "recoveries": self.recoveries,
             **extra,
         })
 
@@ -258,21 +282,74 @@ def render_driver(
             [np.asarray(v.x), np.asarray(v.y), np.asarray(v.z)], axis=-1,
         ).astype(np.float64)
 
+    # failure recovery knobs: device partials flush to host at least every
+    # PT_FLUSH_S seconds so a crash can only lose that much work; on a
+    # recoverable failure wait PT_RECOVER_WAIT_S (the tunnel stays wedged
+    # ~2-5 min after a crash) and re-render from the last flushed chunk
+    flush_s = float(os.environ.get("PT_FLUSH_S", "60"))
+    recover_wait = float(os.environ.get("PT_RECOVER_WAIT_S", "150"))
+    max_retries = int(os.environ.get("PT_MAX_RETRIES", "3"))
+    fault_at = int(os.environ.get("PT_FAULT_INJECT", "-1"))
+    # how many times the injected fault fires (a persistent outage is
+    # PT_FAULT_COUNT > PT_MAX_RETRIES)
+    fault_count = int(os.environ.get("PT_FAULT_COUNT", "1"))
+
     ctx = (jax.profiler.trace(profile_dir) if profile_dir
            else _null_context())
     with ctx:
         c = start_chunk
-        dev_acc = None  # device-resident partial sum since last checkpoint
+        host_base = start_chunk  # chunks reflected in the host accum
+        dev_acc = None  # device-resident partial sum since last flush
+        failures = 0
+        t_flush = time.perf_counter()
+
+        def flush(save_ck: bool):
+            nonlocal accum, dev_acc, host_base, t_flush
+            if dev_acc is not None:
+                accum += to_np(dev_acc)
+                dev_acc = None
+            host_base = c
+            t_flush = time.perf_counter()
+            if save_ck and checkpoint_path:
+                _checkpoint_save(checkpoint_path, accum, c, cfg,
+                                 backend_name, checkpoint_every)
+
         while c < n_chunks:
             n = min(seg_len, n_chunks - c)
             t0 = time.perf_counter()
-            out = segment(c, n, key)
-            dev_acc = out if dev_acc is None else Vec3(
-                dev_acc.x + out.x, dev_acc.y + out.y, dev_acc.z + out.z)
-            # sync each segment: the remote-TPU tunnel degrades badly on
-            # deep async dispatch queues (measured 13s compute ballooning
-            # to 100+s wall when 32 segments were left enqueued)
-            dev_acc.x.block_until_ready()
+            try:
+                if c <= fault_at < c + n and fault_count > 0:
+                    fault_count -= 1
+                    if fault_count == 0:
+                        fault_at = -1
+                    raise DeviceFailure(
+                        f"PT_FAULT_INJECT at chunk {c}")
+                out = segment(c, n, key)
+                dev_acc = out if dev_acc is None else Vec3(
+                    dev_acc.x + out.x, dev_acc.y + out.y,
+                    dev_acc.z + out.z)
+                # sync each segment: the remote-TPU tunnel degrades badly
+                # on deep async dispatch queues (measured 13s compute
+                # ballooning to 100+s wall with 32 segments enqueued)
+                dev_acc.x.block_until_ready()
+            except Exception as exc:  # noqa: BLE001 — filtered below
+                if not _is_recoverable(exc) or failures >= max_retries:
+                    raise
+                failures += 1
+                stats.recoveries += 1
+                lost = c + n - host_base
+                wait = 0.0 if isinstance(exc, DeviceFailure) \
+                    else recover_wait
+                log.warning(
+                    "device failure at chunk %d (%s); re-rendering %d "
+                    "chunk(s) from %d after %.0fs (retry %d/%d)",
+                    c, exc, lost, host_base, wait, failures, max_retries)
+                # the device-resident partial is gone with the device
+                dev_acc = None
+                c = host_base
+                time.sleep(wait)
+                continue
+            failures = 0
             dt = time.perf_counter() - t0
             c += n
             seg_samples = W * H * n * spp_chunk
@@ -281,15 +358,10 @@ def render_driver(
             log.info("%d/%d chunks done in %.2fs (%.2f Msamples/s)",
                      c, n_chunks, dt, seg_samples / dt / 1e6)
             if checkpoint_path and checkpoint_every > 0:
-                accum += to_np(dev_acc)
-                dev_acc = None
-                _checkpoint_save(checkpoint_path, accum, c, cfg,
-                                 backend_name, checkpoint_every)
-        if dev_acc is not None:
-            accum += to_np(dev_acc)
-            if checkpoint_path:
-                _checkpoint_save(checkpoint_path, accum, c, cfg,
-                                 backend_name, checkpoint_every)
+                flush(save_ck=True)
+            elif time.perf_counter() - t_flush > flush_s:
+                flush(save_ck=False)
+        flush(save_ck=checkpoint_path is not None)
 
     stats.wall_s = time.perf_counter() - t_total
     total_spp = n_chunks * spp_chunk
