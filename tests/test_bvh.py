@@ -133,3 +133,19 @@ def test_build_bvh_appends_to_pool():
     pool, r2, e2 = build_bvh(t2, leaf_size=8, into=pool)
     assert r2 == e1
     assert e2 == pool.n_nodes
+
+
+def test_build_bvh_snapped_minimum_leaves():
+    """The snapped-SAH build must produce the minimum possible tree:
+    exactly ceil(N/leaf_size) leaves (every leaf full except at most the
+    remainder) and 2*leaves - 1 nodes. This is the property the TPU
+    packet traversal pays for (one while-iteration per visited node,
+    fixed-cost leaf unroll)."""
+    for n, leaf in ((100, 8), (64, 8), (37, 4), (257, 16)):
+        tris = _random_tris(n, seed=n)
+        bvh, root, end = build_bvh(tris, leaf_size=leaf)
+        n_leaves = int(bvh.node_is_leaf.sum())
+        assert n_leaves == -(-n // leaf), (n, leaf, n_leaves)
+        assert bvh.n_nodes == 2 * n_leaves - 1
+        # slot pool is exactly leaves * leaf_size
+        assert bvh.n_tri_slots == n_leaves * leaf
