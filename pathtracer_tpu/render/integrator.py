@@ -540,8 +540,18 @@ def render_rays(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     else:
+        # the fixed-trip loop exists for reverse-mode AD; rematerialize
+        # each bounce instead of saving its intermediates — without this,
+        # the backward pass stores ~30 [R]-sized residuals per bounce to
+        # HBM and goes bandwidth-bound (jax.checkpoint = the standard
+        # FLOPs-for-memory trade; prevent_cse=False is the loop-body form)
+        step = jax.checkpoint(
+            lambda s, k: bounce_step(scn, meta, cfg, s, k),
+            prevent_cse=False,
+        )
+
         def fbody(b, s):
-            s = bounce_step(scn, meta, cfg, s, jax.random.fold_in(key, b))
+            s = step(s, jax.random.fold_in(key, b))
             if cfg.debug_ray >= 0:
                 _probe(b, s)
             return s
