@@ -109,6 +109,7 @@ def make_sharded_train_step(
     cfg: RenderConfig,
     n_samples: int,
     lr: float = 0.05,
+    optimizer=None,
 ):
     """Build the jit-able distributed training step.
 
@@ -116,9 +117,17 @@ def make_sharded_train_step(
     the 'pixels' axis, samples split over the 'spp' axis. Per-device pathwise
     gradients are psum-reduced over BOTH axes — the psum is emitted inside
     the step so XLA overlaps it with the backward pass over ICI.
+
+    `optimizer` is any optax GradientTransformation; None means plain SGD
+    at `lr` with the same (params, ...) -> (new_params, loss) signature as
+    before. With an optimizer the returned step takes and returns an
+    opt_state: (params, opt_state, ...) -> (new_params, new_opt_state,
+    loss); initialize it with `optimizer.init(params)` (replicated — the
+    gradients are pmean-reduced before the update, so every device holds
+    identical optimizer state).
     """
 
-    def step(params, scn, cam, px, py, target, key):
+    def step(params, opt_state, scn, cam, px, py, target, key):
         pix_rank = jax.lax.axis_index("pixels")
         spp_rank = jax.lax.axis_index("spp")
         k = jax.random.fold_in(jax.random.fold_in(key, pix_rank), spp_rank)
@@ -132,16 +141,32 @@ def make_sharded_train_step(
         grads = jax.tree.map(
             lambda g: jax.lax.pmean(jax.lax.pmean(g, "pixels"), "spp"), grads
         )
-        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return new_params, loss
+        if optimizer is None:
+            new_params = jax.tree.map(lambda p, g: p - lr * g, params,
+                                      grads)
+            return new_params, loss
+        import optax
 
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss
+
+    if optimizer is None:
+        fn = lambda params, scn, cam, px, py, target, key: step(  # noqa: E731
+            params, None, scn, cam, px, py, target, key)
+        n_rep_in, n_rep_out = 1, 1    # params in; params out
+    else:
+        fn = step
+        n_rep_in, n_rep_out = 2, 2    # + opt_state in and out
     return jax.jit(
         jax.shard_map(
-            step,
+            fn,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P("pixels"), P("pixels"),
-                      P("pixels"), P()),
-            out_specs=(P(), P()),
+            # replicated leading args (params [, opt_state] + scn + cam),
+            # then sharded pixel/target streams and the replicated key
+            in_specs=(P(),) * (n_rep_in + 2) + (
+                P("pixels"), P("pixels"), P("pixels"), P()),
+            out_specs=(P(),) * n_rep_out + (P(),),
             check_vma=False,  # see render_dist.py: bounce-loop carry VMA
         )
     )

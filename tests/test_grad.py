@@ -107,3 +107,34 @@ def test_sharded_train_step(setup):
     # params actually moved
     assert not np.allclose(np.asarray(new_params.emission),
                            np.asarray(params.emission))
+
+
+def test_sharded_train_step_optax(setup):
+    """Distributed step with an optax optimizer: opt_state threads through
+    and adam actually converges the loss over a few steps."""
+    import optax
+
+    cfg, arrays, meta, cam, px, py = setup
+    mesh = make_mesh()
+    params = extract_params(arrays)
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
+    step = make_sharded_train_step(mesh, meta, cfg, n_samples=4,
+                                   optimizer=opt)
+    P = px.shape[0]
+    pad = (-P) % mesh.shape["pixels"]
+    pxp = jnp.concatenate([px, jnp.zeros(pad, px.dtype)])
+    pyp = jnp.concatenate([py, jnp.zeros(pad, py.dtype)])
+    target = Vec3.zeros((P + pad,))
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(5):
+        params, opt_state, loss = step(
+            params, opt_state, arrays, cam, pxp, pyp, target,
+            jax.random.fold_in(key, i),
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    # adam on a black target must darken the scene monotonically-ish
+    assert losses[-1] < losses[0] * 0.9, losses
