@@ -175,7 +175,6 @@ def main(argv=None) -> int:
              args.scene, meta.n_objects, meta.n_nodes, meta.n_tri_slots)
 
     if args.distributed or args.mesh:
-        from jax.sharding import Mesh
         import numpy as np
 
         from .parallel.mesh import make_mesh, mesh_shape_for

@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import jax
 
-from .mesh import make_mesh, mesh_shape_for
+from .mesh import make_mesh
 
 log = logging.getLogger("pathtracer_tpu")
 

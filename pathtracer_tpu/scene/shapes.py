@@ -11,7 +11,7 @@ Type codes match the reference's CL layout (internal/ocl/scene.go:45-76):
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

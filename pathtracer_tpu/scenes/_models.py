@@ -6,7 +6,6 @@ transparent_teapot.go:107-133, transparent_glass.go:117-140, gopher.go:66-82).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 from ..assets import find_asset, load_obj_source
 from ..scene.material import Material

@@ -7,7 +7,6 @@ the back wall to z=0.6 and keeps 8-char debug labels like the reference.
 """
 from __future__ import annotations
 
-import math
 
 from ..config import RenderConfig
 from ..geometry import transforms as gx
