@@ -40,7 +40,8 @@ from ..scene.shapes import BOX, CYLINDER, PLANE, SPHERE
 from .camera import Camera, CameraArrays, rays_for_pixels
 from .intersect import Hit, intersect_scene
 from .sampling import random_vector_in_hemisphere, refracted_direction, schlick
-from .uv import cube_uv, sample_texture, sample_texture_packed, spherical_map
+from .uv import (cube_uv, sample_texture, sample_texture_pool,
+                 spherical_map)
 from .vec3 import Vec3
 
 
@@ -69,13 +70,12 @@ def _use_pallas_intersect(meta: SceneMeta, cfg: RenderConfig) -> bool:
 
 
 def _tex_sampler(cfg: RenderConfig, scn: SceneArrays, kind: str):
-    """Texture fetch for one atlas: packed-u32 on the render path, float
-    when texture gradients must flow (cfg.trainable_textures)."""
-    if cfg.trainable_textures:
-        atlas = getattr(scn, f"tex_{kind}")
-        return lambda li, u, v: sample_texture(atlas, li, u, v)
-    atlas_u32 = getattr(scn, f"tex_{kind}_u32")
-    return lambda li, u, v: sample_texture_packed(atlas_u32, li, u, v)
+    """Float-atlas texture fetch for the differentiable path (texel
+    gradients flow through sample_texture). The render path fetches from
+    the flat u32 pool instead (sample_texture_pool) — one fetch for all
+    sampler kinds."""
+    atlas = getattr(scn, f"tex_{kind}")
+    return lambda li, u, v: sample_texture(atlas, li, u, v)
 
 
 class PathState(NamedTuple):
@@ -110,6 +110,13 @@ class ObjAttrs(NamedTuple):
     is_textured_nm: jnp.ndarray
     texture_index_nm: jnp.ndarray    # i32
     texture_scale_nm: Tuple[jnp.ndarray, jnp.ndarray]
+    # flat-pool fetch coordinates (f32-exact; see pack._build_texel_pool)
+    tex_base: jnp.ndarray
+    tex_w: jnp.ndarray
+    tex_h: jnp.ndarray
+    tex_nm_base: jnp.ndarray
+    tex_nm_w: jnp.ndarray
+    tex_nm_h: jnp.ndarray
 
 
 def _fetch_object_attrs(scn: SceneArrays, oi: jnp.ndarray) -> ObjAttrs:
@@ -142,6 +149,12 @@ def _fetch_object_attrs(scn: SceneArrays, oi: jnp.ndarray) -> ObjAttrs:
         f(scn.is_textured_nm)[None, :],         # 27
         f(scn.texture_index_nm)[None, :],       # 28
         scn.texture_scale_nm.T,                 # 29-30
+        f(scn.tex_base)[None, :],               # 31
+        f(scn.tex_w)[None, :],                  # 32
+        f(scn.tex_h)[None, :],                  # 33
+        f(scn.tex_nm_base)[None, :],            # 34
+        f(scn.tex_nm_w)[None, :],               # 35
+        f(scn.tex_nm_h)[None, :],               # 36
     ], axis=0)
 
     onehot = (
@@ -168,6 +181,12 @@ def _fetch_object_attrs(scn: SceneArrays, oi: jnp.ndarray) -> ObjAttrs:
         is_textured_nm=attrs[27],
         texture_index_nm=attrs[28].astype(jnp.int32),
         texture_scale_nm=(attrs[29], attrs[30]),
+        tex_base=attrs[31],
+        tex_w=attrs[32],
+        tex_h=attrs[33],
+        tex_nm_base=attrs[34],
+        tex_nm_w=attrs[35],
+        tex_nm_h=attrs[36],
     )
 
 
@@ -195,11 +214,15 @@ def _surface_normal(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     if meta.has_normal_maps:
         has_nm = (at.is_textured_nm == 1) & (obj_type == PLANE)
         nm_sx, nm_sy = at.texture_scale_nm
-        fetch = _tex_sampler(cfg, scn, "planar")
-        nm_rgb = fetch(
-            at.texture_index_nm,
-            jnp.abs(lp.x) * nm_sx, jnp.abs(lp.z) * nm_sy,
-        ).normalized()
+        nm_u = jnp.abs(lp.x) * nm_sx
+        nm_v = jnp.abs(lp.z) * nm_sy
+        if not cfg.trainable_textures:
+            nm_rgb = sample_texture_pool(
+                scn.tex_pool_u32, at.tex_nm_base, at.tex_nm_w,
+                at.tex_nm_h, nm_u, nm_v).normalized()
+        else:
+            nm_rgb = _tex_sampler(cfg, scn, "planar")(
+                at.texture_index_nm, nm_u, nm_v).normalized()
         n_plane = Vec3.where(has_nm, nm_rgb, n_plane)
 
     # SPHERE: local point minus origin (tracer.cl:915-920) -> lp itself
@@ -241,23 +264,47 @@ def _surface_color(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     obj_type = at.obj_type
     if meta.textured_types:
         textured = at.is_textured == 1
-        tex_idx = at.texture_index
         sx, sy = at.texture_scale
 
-        tex_color = base
-        if PLANE in meta.textured_types:
-            c_plane = _tex_sampler(cfg, scn, "planar")(
-                tex_idx, lp.x * sx, lp.z * sy)
-            tex_color = Vec3.where(obj_type == PLANE, c_plane, tex_color)
-        if SPHERE in meta.textured_types:
-            us, vs = spherical_map(lp)
-            c_sphere = _tex_sampler(cfg, scn, "sphere")(
-                tex_idx, us, 1.0 - vs)
-            tex_color = Vec3.where(obj_type == SPHERE, c_sphere, tex_color)
-        if BOX in meta.textured_types:
-            uc, vc = cube_uv(lp)
-            c_cube = _tex_sampler(cfg, scn, "cube")(tex_idx, uc, vc)
-            tex_color = Vec3.where(obj_type == BOX, c_cube, tex_color)
+        if not cfg.trainable_textures:
+            # unified flat-pool fetch: select the sampler-kind UV per ray
+            # FIRST (cheap VPU selects), then do ONE 4-tap gather from
+            # the flat pool — texel gathers dominate textured scenes, so
+            # one fetch instead of one per kind is the whole ballgame
+            u = lp.x * sx
+            v = lp.z * sy
+            if SPHERE in meta.textured_types:
+                us, vs = spherical_map(lp)
+                sel = obj_type == SPHERE
+                u = jnp.where(sel, us, u)
+                v = jnp.where(sel, 1.0 - vs, v)
+            if BOX in meta.textured_types:
+                uc, vc = cube_uv(lp)
+                sel = obj_type == BOX
+                u = jnp.where(sel, uc, u)
+                v = jnp.where(sel, vc, v)
+            tex_color = sample_texture_pool(
+                scn.tex_pool_u32, at.tex_base, at.tex_w, at.tex_h, u, v)
+        else:
+            # differentiable path: per-kind float atlases (texel
+            # gradients flow; perf is AD-dominated anyway)
+            tex_idx = at.texture_index
+            tex_color = base
+            if PLANE in meta.textured_types:
+                c_plane = _tex_sampler(cfg, scn, "planar")(
+                    tex_idx, lp.x * sx, lp.z * sy)
+                tex_color = Vec3.where(obj_type == PLANE, c_plane,
+                                       tex_color)
+            if SPHERE in meta.textured_types:
+                us, vs = spherical_map(lp)
+                c_sphere = _tex_sampler(cfg, scn, "sphere")(
+                    tex_idx, us, 1.0 - vs)
+                tex_color = Vec3.where(obj_type == SPHERE, c_sphere,
+                                       tex_color)
+            if BOX in meta.textured_types:
+                uc, vc = cube_uv(lp)
+                c_cube = _tex_sampler(cfg, scn, "cube")(tex_idx, uc, vc)
+                tex_color = Vec3.where(obj_type == BOX, c_cube, tex_color)
 
         base = Vec3.where(textured, tex_color, base)
     return Vec3.where(is_tri, tri_color, base)

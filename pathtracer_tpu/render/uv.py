@@ -95,7 +95,7 @@ def sample_texture(atlas: jnp.ndarray, layer: jnp.ndarray, u: jnp.ndarray,
     """Bilinear sample from a channel-leading [3, n, H, W] float atlas.
     layer/u/v: [R]. Returns Vec3. 12 gathers — the differentiable path
     (texture atlases are trainable, diff/grad.py); the render path uses
-    sample_texture_packed (3x fewer gathers)."""
+    sample_texture_pool (u32 texels, one fetch for all kinds)."""
     _, n, h, w = atlas.shape
     x0i, x1i, y0i, y1i, tx, ty, li = _bilinear_coords(w, h, layer, n, u, v)
 
@@ -111,16 +111,35 @@ def sample_texture(atlas: jnp.ndarray, layer: jnp.ndarray, u: jnp.ndarray,
     return Vec3(chan(0), chan(1), chan(2))
 
 
-def sample_texture_packed(atlas_u32: jnp.ndarray, layer: jnp.ndarray,
-                          u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
-    """Bilinear sample from an rgb8-in-uint32 [n, H, W] atlas: ONE gather
-    per corner instead of one per corner per channel. XLA:TPU gathers run
-    ~250M elem/s regardless of width, so this is a 3x texture-sampling
-    speedup; source images are 8-bit anyway, so no fidelity is lost
-    (within 1/255 of the float path)."""
-    n, h, w = atlas_u32.shape
-    x0i, x1i, y0i, y1i, tx, ty, li = _bilinear_coords(w, h, layer, n, u, v)
+def sample_texture_pool(pool_u32: jnp.ndarray, base: jnp.ndarray,
+                        w: jnp.ndarray, h: jnp.ndarray,
+                        u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
+    """Bilinear sample from the FLAT rgb8-u32 texel pool (pack.py
+    _build_texel_pool) with per-ray (base, w, h) — one fetch serves every
+    sampler kind, so a bounce does 4 pool taps total instead of 4 per
+    kind. Flat 1D takes also lower ~2x faster than the [n,H,W]
+    advanced-index gathers on TPU (measured; docs/PERFORMANCE.md).
+
+    base/w/h arrive as floats (they ride the one-hot MXU attribute fetch;
+    exact below 2^24). Same REPEAT + LINEAR semantics as the float
+    sampler above."""
     dt = u.dtype
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+    bi = base.astype(jnp.int32)
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0).astype(dt)
+    ty = (fy - y0).astype(dt)
+    x0i = jnp.mod(x0.astype(jnp.int32), wi)
+    x1i = jnp.mod(x0i + 1, wi)
+    y0i = jnp.mod(y0.astype(jnp.int32), hi)
+    y1i = jnp.mod(y0i + 1, hi)
+
+    def tap(yi, xi):
+        return jnp.take(pool_u32, bi + yi * wi + xi, mode="clip")
 
     def unpack(p):
         scale = jnp.asarray(1.0 / 255.0, dt)
@@ -130,10 +149,10 @@ def sample_texture_packed(atlas_u32: jnp.ndarray, layer: jnp.ndarray,
             ((p >> 16) & 0xFF).astype(dt) * scale,
         )
 
-    c00 = unpack(atlas_u32[li, y0i, x0i])
-    c01 = unpack(atlas_u32[li, y0i, x1i])
-    c10 = unpack(atlas_u32[li, y1i, x0i])
-    c11 = unpack(atlas_u32[li, y1i, x1i])
+    c00 = unpack(tap(y0i, x0i))
+    c01 = unpack(tap(y0i, x1i))
+    c10 = unpack(tap(y1i, x0i))
+    c11 = unpack(tap(y1i, x1i))
     top = c00 * (1.0 - tx) + c01 * tx
     bot = c10 * (1.0 - tx) + c11 * tx
     return top * (1.0 - ty) + bot * ty

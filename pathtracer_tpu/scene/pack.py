@@ -15,7 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .bvh import FlatBVH, build_bvh, build_bvh_arrays, empty_bvh
-from .shapes import Cylinder, Group, Shape, Triangle
+from .shapes import BOX, PLANE, SPHERE, Cylinder, Group, Shape, Triangle
 
 NONE_TYPE = -1
 
@@ -74,12 +74,20 @@ class SceneArrays(NamedTuple):
     tex_planar: jnp.ndarray
     tex_sphere: jnp.ndarray
     tex_cube: jnp.ndarray
-    # rgb8-packed uint32 mirrors [n, H, W] — the render path's texel fetch
-    # (1 gather per corner instead of 3; see uv.sample_texture_packed).
-    # The float atlases above stay for the differentiable path.
-    tex_planar_u32: jnp.ndarray
-    tex_sphere_u32: jnp.ndarray
-    tex_cube_u32: jnp.ndarray
+    # Flat u32 texel pool: every texture of every kind concatenated at
+    # NATIVE resolution, with per-object (base, w, h) so the integrator
+    # does ONE unified 4-tap fetch per bounce instead of one fetch per
+    # sampler kind (texel gathers are ~97% of textured-scene time; see
+    # docs/PERFORMANCE.md). base/w/h ride the one-hot MXU attribute fetch
+    # as f32 columns — pack_scene asserts the pool stays < 2^24 texels so
+    # the bases are f32-exact.
+    tex_pool_u32: jnp.ndarray      # [sum(H*W)] u32
+    tex_base: jnp.ndarray          # [No] f32-exact texel offset (color)
+    tex_w: jnp.ndarray             # [No]
+    tex_h: jnp.ndarray             # [No]
+    tex_nm_base: jnp.ndarray       # [No] (normal map; planes only)
+    tex_nm_w: jnp.ndarray          # [No]
+    tex_nm_h: jnp.ndarray          # [No]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,10 +160,33 @@ def _pack_texture_atlas(images: Sequence[np.ndarray], dtype) -> np.ndarray:
     return out
 
 
-def _pack_u32(atlas: np.ndarray) -> np.ndarray:
-    """[3, n, H, W] float -> [n, H, W] uint32 with rgb8 in the low bytes."""
-    q = np.clip(np.round(atlas * 255.0), 0, 255).astype(np.uint32)
-    return q[0] | (q[1] << 8) | (q[2] << 16)
+def _build_texel_pool(kind_images):
+    """Concatenate every texture of every kind into ONE flat rgb8-u32
+    pool at native resolution. Returns (pool [T] u32, {kind: [(base, w,
+    h), ...]}). Unlike the per-kind atlases (which must pad layers to a
+    common size, image2d_array_t-style), the flat pool needs no padding —
+    and it lets the integrator fetch any texture of any kind with a
+    single 4-tap bilinear gather."""
+    chunks = []
+    tables = {}
+    off = 0
+    for kind, images in kind_images.items():
+        entries = []
+        for im in images:
+            h, w = im.shape[0], im.shape[1]
+            q = np.clip(np.round(im[..., :3] * 255.0), 0,
+                        255).astype(np.uint32)
+            chunks.append(
+                (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16))
+                .reshape(-1))
+            entries.append((off, w, h))
+            off += h * w
+        tables[kind] = entries
+    pool = np.concatenate(chunks) if chunks else np.zeros(1, np.uint32)
+    assert pool.size < 2 ** 24, (
+        f"texel pool has {pool.size} texels; f32-exact base offsets cap "
+        "at 2^24 — switch tex_base to an i32 side-table to grow further")
+    return pool, tables
 
 
 def pack_scene(
@@ -272,6 +303,31 @@ def pack_scene(
     f = lambda a: jnp.asarray(np.asarray(a, dtype=np.dtype(dtype)))
     i32 = lambda a: jnp.asarray(np.asarray(a, dtype=np.int32))
 
+    # flat texel pool + per-object (base, w, h): the object's primitive
+    # type selects its sampler kind (plane->planar, sphere->spherical,
+    # box->cube-cross; tracer.cl:1077-1093); normal maps are planar-only
+    # (tracer.cl:907-911)
+    tex_pool, pool_tables = _build_texel_pool({
+        "planar": list(textures),
+        "sphere": list(sphere_textures),
+        "cube": list(cube_textures),
+    })
+    _kind_of_type = {PLANE: "planar", SPHERE: "sphere", BOX: "cube"}
+    pool_base = np.zeros(no, dtype=np_dtype)
+    pool_w = np.ones(no, dtype=np_dtype)
+    pool_h = np.ones(no, dtype=np_dtype)
+    pool_nm_base = np.zeros(no, dtype=np_dtype)
+    pool_nm_w = np.ones(no, dtype=np_dtype)
+    pool_nm_h = np.ones(no, dtype=np_dtype)
+    for i in range(n):
+        kind = _kind_of_type.get(int(obj_type[i]))
+        entries = pool_tables.get(kind, [])
+        if is_tex[i] and tex_idx[i] < len(entries):
+            pool_base[i], pool_w[i], pool_h[i] = entries[tex_idx[i]]
+        if is_tex_nm[i] and tex_idx_nm[i] < len(pool_tables["planar"]):
+            (pool_nm_base[i], pool_nm_w[i],
+             pool_nm_h[i]) = pool_tables["planar"][tex_idx_nm[i]]
+
     arrays = SceneArrays(
         obj_type=i32(obj_type),
         inverse=f(inverse),
@@ -307,13 +363,17 @@ def pack_scene(
         tri_n2=f(pool.tri_n2),
         tri_n3=f(pool.tri_n3),
         tri_color=f(pool.tri_color),
-        tex_planar=f(tex_p := _pack_texture_atlas(textures, np.float32)),
-        tex_sphere=f(tex_s := _pack_texture_atlas(sphere_textures,
-                                                  np.float32)),
-        tex_cube=f(tex_c := _pack_texture_atlas(cube_textures, np.float32)),
-        tex_planar_u32=jnp.asarray(_pack_u32(tex_p)),
-        tex_sphere_u32=jnp.asarray(_pack_u32(tex_s)),
-        tex_cube_u32=jnp.asarray(_pack_u32(tex_c)),
+        tex_planar=f(_pack_texture_atlas(textures, np.float32)),
+        tex_sphere=f(_pack_texture_atlas(sphere_textures,
+                                         np.float32)),
+        tex_cube=f(_pack_texture_atlas(cube_textures, np.float32)),
+        tex_pool_u32=jnp.asarray(tex_pool),
+        tex_base=f(pool_base),
+        tex_w=f(pool_w),
+        tex_h=f(pool_h),
+        tex_nm_base=f(pool_nm_base),
+        tex_nm_w=f(pool_nm_w),
+        tex_nm_h=f(pool_nm_h),
     )
     textured_types = sorted(
         {int(obj_type[i]) for i, s in enumerate(objects)

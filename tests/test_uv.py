@@ -89,3 +89,37 @@ def test_sample_texture_repeat_negative():
     assert np.allclose(
         _sample(at, -0.875, 0.5), _sample(at, 0.125, 0.5), atol=1e-6
     )
+
+
+def test_sample_texture_pool_matches_float_sampler():
+    """The flat-pool u32 fetch must agree with the float-atlas bilinear
+    sampler within rgb8 quantization (1/255 per tap), including REPEAT
+    wrap and textures of different native sizes in one pool."""
+    import numpy as np
+
+    from pathtracer_tpu.render.uv import sample_texture, sample_texture_pool
+    from pathtracer_tpu.scene.pack import _build_texel_pool
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.random((h, w, 3)) for h, w in ((8, 16), (5, 7))]
+    # quantize the float source exactly like the pool does, so the only
+    # difference left is the fetch path itself
+    imgs = [np.round(im * 255.0) / 255.0 for im in imgs]
+    pool, tables = _build_texel_pool({"planar": imgs})
+
+    R = 512
+    u = jnp.asarray(rng.uniform(-2, 2, R), jnp.float32)
+    v = jnp.asarray(rng.uniform(-2, 2, R), jnp.float32)
+    for li, (base, w, h) in enumerate(tables["planar"]):
+        atlas = np.zeros((3, 1, h, w), np.float32)
+        atlas[:, 0] = np.moveaxis(imgs[li], -1, 0)
+        want = sample_texture(jnp.asarray(atlas),
+                              jnp.zeros(R, jnp.int32), u, v)
+        got = sample_texture_pool(
+            jnp.asarray(pool),
+            jnp.full(R, float(base), jnp.float32),
+            jnp.full(R, float(w), jnp.float32),
+            jnp.full(R, float(h), jnp.float32), u, v)
+        for a, b in zip((got.x, got.y, got.z), (want.x, want.y, want.z)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1.5 / 255.0)
