@@ -138,3 +138,38 @@ def test_sharded_train_step_optax(setup):
     assert all(np.isfinite(losses))
     # adam on a black target must darken the scene monotonically-ish
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_train_state_checkpoint_roundtrip(setup, tmp_path):
+    """orbax train-state save/restore: params + adam opt_state round-trip
+    bit-exactly and training resumes from the restored state."""
+    import optax
+
+    from pathtracer_tpu.diff.checkpoint import (
+        restore_train_state, save_train_state,
+    )
+
+    cfg, arrays, meta, cam, px, py = setup
+    params = extract_params(arrays)
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
+
+    # advance one step so the state is non-trivial
+    target = Vec3.zeros((px.shape[0],))
+    loss, grads = jax.value_and_grad(image_loss)(
+        params, arrays, meta, cfg, cam, px, py, jax.random.PRNGKey(0), 2,
+        target)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    ckdir = str(tmp_path / "train_ck")
+    save_train_state(ckdir, step=7, params=params, opt_state=opt_state)
+
+    fresh_p = extract_params(arrays)
+    fresh_o = opt.init(fresh_p)
+    step, p2, o2 = restore_train_state(ckdir, fresh_p, fresh_o)
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
