@@ -26,7 +26,7 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     from pathtracer_tpu.render import pallas_kernel as pk
 
     W, H = cfg.width, cfg.height
-    S, L = 128, 256
+    S, L = 64, 256   # swept on hardware; see render/pallas_kernel.default_tile
     n_pix = W * H
     pad = (-n_pix) % (S * L)
     ids = np.arange(n_pix + pad)
