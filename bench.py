@@ -32,10 +32,8 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     ids = np.arange(n_pix + pad)
     px = jnp.asarray((ids % W).astype(np.int32).reshape(-1, L))
     py = jnp.asarray(np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
-    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera.pack(jnp.float32)))
-    obj = jnp.asarray(pk.build_scene_table(arrays, meta))
-    nodes, tris = pk.build_mesh_tables(arrays, meta)
-    nodes, tris = jnp.asarray(nodes), jnp.asarray(tris)
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
 
     def run(seed):
         r, _, _ = pk.trace_tiles(

@@ -200,10 +200,11 @@ def render_driver(
         px2 = jnp.asarray((ids % W).astype(np.int32).reshape(-1, L))
         py2 = jnp.asarray(
             np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
-        cam_vec = jnp.asarray(pk.build_camera_vec(cam))
-        obj_table = jnp.asarray(pk.build_scene_table(scn, meta))
-        nodes, tris = pk.build_mesh_tables(scn, meta)
-        nodes, tris = jnp.asarray(nodes), jnp.asarray(tris)
+        cam_vec = jnp.asarray(pk.build_camera_vec(camera))
+        # build the SMEM/VMEM tables ON DEVICE (scene arrays already live
+        # there; the numpy builders would device_get each field, and tiny
+        # gets over the remote tunnel cost seconds each)
+        obj_table, nodes, tris = pk.scene_tables_jnp(scn, meta)
 
         def segment(c0: int, n: int, k) -> Vec3:
             # independent PRNG stream per segment, derived from (seed, c0)
@@ -330,8 +331,15 @@ def render_driver(
                     dev_acc.z + out.z)
                 # sync each segment: the remote-TPU tunnel degrades badly
                 # on deep async dispatch queues (measured 13s compute
-                # ballooning to 100+s wall with 32 segments enqueued)
+                # ballooning to 100+s wall with 32 segments enqueued).
+                # block_until_ready alone is NOT a reliable barrier there
+                # — the tunnel compiles asynchronously and can report
+                # enqueued work "ready" — so force true materialization
+                # with a 1-element device_get (microseconds on local
+                # hardware, and it also surfaces device failures HERE
+                # where the recovery path can catch them)
                 dev_acc.x.block_until_ready()
+                float(dev_acc.x[0])
             except Exception as exc:  # noqa: BLE001 — filtered below
                 if not _is_recoverable(exc) or failures >= max_retries:
                     raise

@@ -192,15 +192,19 @@ def render_sharded_pallas(
     rep = NamedSharding(mesh, P())
     px = _put_sharded(xs, shard)
     py = _put_sharded(ys, shard)
-    cam_vec = pk.build_camera_vec(camera.pack(jnp.float32))
-    obj = pk.build_scene_table(scn, meta)
-    nodes, tris = pk.build_mesh_tables(scn, meta)
+    cam_vec = pk.build_camera_vec(camera)
     if jax.process_count() > 1:
+        # multi-controller needs host arrays to build global shards; the
+        # numpy table builders device_get the scene fields, which is fine
+        # on real pods (local PCIe) — only the remote tunnel makes tiny
+        # gets pathologically slow
+        obj = pk.build_scene_table(scn, meta)
+        nodes, tris = pk.build_mesh_tables(scn, meta)
         cam_vec, obj, nodes, tris = (
             _put_sharded(a, rep) for a in (cam_vec, obj, nodes, tris))
     else:
-        cam_vec, obj, nodes, tris = (
-            jnp.asarray(a) for a in (cam_vec, obj, nodes, tris))
+        cam_vec = jnp.asarray(cam_vec)
+        obj, nodes, tris = pk.scene_tables_jnp(scn, meta)
 
     def body(cam_vec, obj, nodes, tris, px_s, py_s):
         # independent PRNG stream per (pixel shard, spp rank)

@@ -149,8 +149,16 @@ def default_tile(meta: SceneMeta) -> Tuple[int, int]:
 
 
 def build_camera_vec(cam) -> np.ndarray:
+    """Build the SMEM camera vector from the HOST Camera (numpy fields).
+
+    Passing the device-side CameraArrays here instead is a severe perf
+    bug: each float()/np.asarray() of a device array is a device_get,
+    and tiny gets over the remote-TPU tunnel cost SECONDS each (measured
+    ~100 s for the six fields) — keep this strictly host-side."""
     out = np.zeros((_CAM_COLS,), dtype=np.float32)
     inv = np.asarray(cam.inverse, dtype=np.float32)
+    assert isinstance(cam.inverse, np.ndarray) or not hasattr(
+        cam.inverse, "devices"), "pass the host Camera, not CameraArrays"
     out[0:12] = inv[:3, :].reshape(12)
     out[12] = float(cam.pixel_size)
     out[13] = float(cam.half_width)
@@ -869,14 +877,13 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
 
     px = jnp.asarray(xs.reshape(rows, L))
     py = jnp.asarray(ys.reshape(rows, L))
-    cam_vec = jnp.asarray(build_camera_vec(camera.pack(jnp.float32)))
-    obj_table = jnp.asarray(build_scene_table(scn, meta))
-    nodes, tris = build_mesh_tables(scn, meta)
+    cam_vec = jnp.asarray(build_camera_vec(camera))
+    obj_table, nodes, tris = scene_tables_jnp(scn, meta)
 
     spp = cfg.samples
     r, g, b = trace_tiles(
         jnp.asarray([seed if seed is not None else cfg.seed], jnp.int32),
-        cam_vec, obj_table, jnp.asarray(nodes), jnp.asarray(tris), px, py,
+        cam_vec, obj_table, nodes, tris, px, py,
         meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples, tile=(S, L),
         interpret=interpret,
     )
