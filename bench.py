@@ -35,15 +35,22 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
     obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
 
-    def run(seed):
+    def run(seed, force=False):
         r, _, _ = pk.trace_tiles(
             jnp.asarray([seed], jnp.int32), cam_vec, obj, nodes, tris,
             px, py, meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples,
             tile=(S, L),
         )
-        r.block_until_ready()
+        if force:
+            # the remote tunnel compiles asynchronously and
+            # block_until_ready can return before the compile finishes —
+            # the warmup must materialize a value so the timed runs
+            # measure steady-state execution only
+            float(r.mean())
+        else:
+            r.block_until_ready()
 
-    run(0)  # compile + warm
+    run(0, force=True)  # compile + warm
     best = float("inf")
     for i in range(3):  # best-of-3: the remote tunnel adds run-to-run jitter
         t0 = time.perf_counter()
@@ -115,7 +122,9 @@ def main():
 
     width, height = 1280, 960
     backend = os.environ.get("BENCH_BACKEND", "pallas")
-    spp = int(os.environ.get("BENCH_SPP", "64" if backend == "pallas"
+    # 128-spp launches amortize per-launch overhead best (same config the
+    # driver uses for full renders); 64 measured ~9% lower
+    spp = int(os.environ.get("BENCH_SPP", "128" if backend == "pallas"
                              else "32"))
 
     cfg = RenderConfig(width=width, height=height, samples=2048,
