@@ -17,6 +17,13 @@ import os
 import time
 
 BASELINE_MSPS = 1280 * 960 * 2048 / 45.43 / 1e6  # 55.39 Msamples/s
+# per-scene reference baselines (BASELINE.md): best published wall times
+# at 1280x960 x 2048 spp on the RTX 2080
+SCENE_BASELINES = {
+    "reference": BASELINE_MSPS,
+    "teapot": 1280 * 960 * 2048 / (29 * 60 + 20) / 1e6,   # 29m20s -> 1.43
+    "gopher": 1280 * 960 * 2048 / (47 * 60) / 1e6,        # 47m    -> 0.89
+}
 
 
 def bench_pallas(cfg, sc, arrays, meta, spp):
@@ -127,9 +134,10 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", "128" if backend == "pallas"
                              else "32"))
 
+    scene = os.environ.get("BENCH_SCENE", "reference")
     cfg = RenderConfig(width=width, height=height, samples=2048,
                        samples_per_pass=8)
-    sc = get_scene("reference", cfg)
+    sc = get_scene(scene, cfg)
     arrays, meta = sc.pack()
 
     fn = {"pallas": bench_pallas, "wavefront": bench_wavefront,
@@ -145,10 +153,11 @@ def main():
 
     msps = samples / dt / 1e6
     print(json.dumps({
-        "metric": "reference_1280x960_Msamples_per_sec",
+        "metric": f"{scene}_1280x960_Msamples_per_sec",
         "value": round(msps, 3),
         "unit": "Msamples/s",
-        "vs_baseline": round(msps / BASELINE_MSPS, 4),
+        "vs_baseline": round(
+            msps / SCENE_BASELINES.get(scene, BASELINE_MSPS), 4),
     }))
 
 
