@@ -263,7 +263,10 @@ def _surface_color(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     base = at.color
     obj_type = at.obj_type
     if meta.textured_types:
-        textured = at.is_textured == 1
+        # only plane/sphere/box have texture mappings (tracer.cl:1077-1093)
+        # — a textured material on any other type keeps its base color
+        textured = (at.is_textured == 1) & (
+            (obj_type == PLANE) | (obj_type == SPHERE) | (obj_type == BOX))
         sx, sy = at.texture_scale
 
         if not cfg.trainable_textures:
