@@ -56,3 +56,29 @@ def test_env_overrides(monkeypatch):
     a = cli.build_parser().parse_args([])
     assert a.width == 321
     assert a.scene == "gopher"
+
+
+def test_render_with_profile_and_debug_ray(tmp_path):
+    """--profile writes a jax.profiler trace; --debug-ray prints the
+    per-bounce probe (the reference's printf-by-pixel equivalent,
+    tracer.cl:1015)."""
+    prof = tmp_path / "prof"
+    out = tmp_path / "probe.png"
+    r = _run("--scene", "reference", "--width", "16", "--height", "12",
+             "--samples", "2", "--samples-per-pass", "2",
+             "--profile", str(prof), "--debug-ray", "5",
+             "--output", str(out))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    # profiler dumps at least one trace artifact under the directory
+    assert any(prof.rglob("*")), "no profiler trace written"
+    assert "bounce" in (r.stdout + r.stderr), "debug-ray probe missing"
+
+
+def test_render_with_nee(tmp_path):
+    out = tmp_path / "nee.png"
+    r = _run("--scene", "reference", "--width", "16", "--height", "12",
+             "--samples", "2", "--samples-per-pass", "2", "--nee",
+             "--output", str(out))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
