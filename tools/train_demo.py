@@ -1,11 +1,12 @@
 """Inverse-rendering demo: recover scene material colors from a target
 image by gradient descent through the differentiable renderer.
 
-The demo perturbs the reference Cornell scene's wall/sphere colors, then
+The demo perturbs the reference Cornell scene's sphere colors, then
 optimizes them back toward a target render of the TRUE scene with adam
-through `make_sharded_train_step` (the same distributed step a pod
-would run; here on whatever mesh the host offers). Outputs a
-side-by-side PNG (target | initial | recovered) plus the loss curve.
+through the differentiable renderer (jit value_and_grad of the image
+loss; the distributed equivalent is diff.make_sharded_train_step, tested
+in tests/test_grad.py). Outputs a side-by-side PNG
+(target | perturbed | recovered) plus the loss curve.
 
 Usage:
     python tools/train_demo.py [--steps 200] [--out docs/renders/train_demo.png]
