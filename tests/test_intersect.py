@@ -209,3 +209,55 @@ def test_many_triangles_bvh_vs_bruteforce():
     hit_mask = best < np.inf
     assert np.array_equal(t < TMAX, hit_mask)
     assert np.allclose(t[hit_mask], best[hit_mask], rtol=1e-4, atol=1e-5)
+
+
+def test_bvh_matches_brute_force_on_random_soup():
+    """Property test: for a random triangle soup, the skip-link BVH
+    traversal must return the SAME closest hit as brute-force
+    Moller-Trumbore over every triangle, for every ray. Pins the whole
+    builder + traversal pipeline (snapped-SAH build, degenerate padding
+    slots, best-t pruning), not just tree structure."""
+    rng = np.random.default_rng(11)
+    N, R = 200, 256
+    p1 = rng.uniform(-2, 2, (N, 3))
+    p2 = p1 + rng.uniform(-0.6, 0.6, (N, 3))
+    p3 = p1 + rng.uniform(-0.6, 0.6, (N, 3))
+
+    tris = [Triangle(np.append(a, 1.0), np.append(b, 1.0),
+                     np.append(c, 1.0))
+            for a, b, c in zip(p1, p2, p3)]
+    g = Group()
+    for t in tris:
+        g.add_child(t)
+
+    origins = rng.uniform(-3, 3, (R, 3))
+    dirs = rng.normal(size=(R, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    t_bvh, _, is_tri, _ = isect([g], origins, dirs)
+
+    # brute force in f32 (same arithmetic precision as the device path)
+    e1 = (p2 - p1).astype(np.float32)
+    e2 = (p3 - p1).astype(np.float32)
+    o32 = origins.astype(np.float32)
+    d32 = dirs.astype(np.float32)
+    best = np.full(R, TMAX, np.float32)
+    for i in range(N):
+        dc2 = np.cross(d32, e2[i])
+        det = (e1[i] * dc2).sum(axis=1)
+        ok = np.abs(det) >= EPS
+        f = 1.0 / np.where(ok, det, 1.0)
+        pv = o32 - p1[i].astype(np.float32)
+        u = f * (pv * dc2).sum(axis=1)
+        oc = np.cross(pv, e1[i])
+        v = f * (d32 * oc).sum(axis=1)
+        t = f * (e2[i] * oc).sum(axis=1)
+        good = (ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+                & (t > EPS) & (t < best))
+        best = np.where(good, t.astype(np.float32), best)
+
+    hit_brute = best < TMAX
+    np.testing.assert_array_equal(is_tri.astype(bool), hit_brute)
+    # identical winning t within f32 arithmetic-order tolerance
+    np.testing.assert_allclose(t_bvh[hit_brute], best[hit_brute],
+                               rtol=2e-5, atol=2e-5)
