@@ -49,3 +49,36 @@ def test_reference_golden():
     # cross-platform float drift
     np.testing.assert_allclose(img, want, atol=2e-5,
                                err_msg=f"mean {img.mean()} vs {want.mean()}")
+
+
+TEAPOT_GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                             "teapot.npz")
+
+
+def test_teapot_golden():
+    """Mesh golden: locks the OBJ parse -> vertex normals -> snapped-SAH
+    BVH -> wavefront integrator chain end-to-end at fixed seed. Uses the
+    procedural teapot substitute when assets are absent, which is itself
+    deterministic."""
+    from pathtracer_tpu.render.integrator import render
+
+    cfg = RenderConfig(width=32, height=24, samples=4, samples_per_pass=4,
+                       seed=7)
+    sc = get_scene("teapot", cfg)
+    arrays, meta = sc.pack()
+    img = render(arrays, meta, sc.camera, cfg)
+
+    if os.environ.get("PT_WRITE_GOLDENS") == "1":
+        os.makedirs(os.path.dirname(TEAPOT_GOLDEN), exist_ok=True)
+        np.savez_compressed(TEAPOT_GOLDEN, img=img,
+                            n_tris=meta.n_tri_slots)
+        pytest.skip(f"teapot golden regenerated: mean={img.mean():.6f}")
+    if not os.path.exists(TEAPOT_GOLDEN):
+        pytest.fail("no teapot golden — regenerate with PT_WRITE_GOLDENS=1")
+    with np.load(TEAPOT_GOLDEN) as z:
+        want = z["img"]
+        n_tris = int(z["n_tris"])
+    assert meta.n_tri_slots == n_tris, (
+        "triangle pool changed — asset or BVH build drift")
+    np.testing.assert_allclose(img, want, atol=2e-5,
+                               err_msg=f"mean {img.mean()} vs {want.mean()}")
