@@ -2,7 +2,13 @@
 the tunnel allows one jax process at a time).
 
 For each (scene, leaf_size): pack, compile the megakernel, then time
-steady-state render_pallas at 1280x960 x SPP and report Msamples/s.
+steady-state DEVICE execution at 1280x960 x SPP and report Msamples/s.
+Timing notes (learned the hard way, docs/PERFORMANCE.md):
+- time trace_tiles with a device-side mean + scalar get, NOT
+  render_pallas (whose full-image numpy conversion rides the ~8.5 MB/s
+  tunnel downlink and swamps kernel-time differences)
+- the warmup must MATERIALIZE a value; block_until_ready can return
+  before the tunnel's asynchronous compile finishes
 
 Usage: python tools/tpu_leaf_sweep.py [scene ...]   (default teapot gopher)
 """
@@ -11,10 +17,11 @@ import time
 
 sys.path.insert(0, ".")
 
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from pathtracer_tpu.config import RenderConfig  # noqa: E402
-from pathtracer_tpu.render.pallas_kernel import render_pallas  # noqa: E402
+from pathtracer_tpu.render import pallas_kernel as pk  # noqa: E402
 from pathtracer_tpu.scene.pack import pack_scene  # noqa: E402
 from pathtracer_tpu.scenes import get_scene  # noqa: E402
 
@@ -28,16 +35,33 @@ for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
         sc = get_scene(scene_name, cfg)
         arrays, meta = pack_scene(sc.objects, leaf_size=leaf)
         nn = int(np.asarray(arrays.node_bb_min).shape[0])
+        S, L = pk.default_tile(meta)
+        n_pix = W * H
+        pad = (-n_pix) % (S * L)
+        ids = np.arange(n_pix + pad)
+        px = jnp.asarray((ids % W).astype(np.int32).reshape(-1, L))
+        py = jnp.asarray(
+            np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
+        cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+        obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
+
+        def run(seed):
+            r, _, _ = pk.trace_tiles(
+                jnp.asarray([seed], jnp.int32), cam_vec, obj, nodes,
+                tris, px, py, meta=meta, cfg=cfg, spp=SPP,
+                total_samples=cfg.samples, tile=(S, L))
+            return float(r.mean())
+
         t0 = time.time()
-        img = render_pallas(arrays, meta, sc.camera, cfg, seed=1)
+        m = run(1)
         t_compile = time.time() - t0
         best = 1e30
-        for _ in range(2):
-            t0 = time.time()
-            img = render_pallas(arrays, meta, sc.camera, cfg, seed=1)
-            best = min(best, time.time() - t0)
+        for i in range(2):
+            t0 = time.perf_counter()
+            m = run(i + 2)
+            best = min(best, time.perf_counter() - t0)
         ms = W * H * SPP / best / 1e6
         print(f"{scene_name} leaf={leaf:3d} nodes={nn:5d} "
               f"compile={t_compile:6.1f}s steady={best:6.2f}s "
-              f"{ms:7.2f} Msamples/s mean={float(img.mean()):.5f}",
+              f"{ms:7.2f} Msamples/s mean={m / SPP:.5f}",
               flush=True)
