@@ -53,7 +53,8 @@ class RenderConfig:
     backend: str = "auto"
     # Sample textures through the float atlases so gradients can flow to
     # them (set by the differentiable path, diff/grad.py). The default
-    # render path samples rgb8-packed uint32 atlases (3x fewer gathers).
+    # render path samples the flat rgb8-u32 texel pool (one 4-tap fetch
+    # for all sampler kinds; see uv.sample_texture_pool).
     trainable_textures: bool = False
     # Next-event estimation (explicit light sampling with shadow rays).
     # The reference carries this code but ships with the call commented

@@ -78,7 +78,7 @@ def render_image_diff(
     scn = apply_params(scn, params)
     # fixed-trip bounce loop: reverse-mode AD cannot cross a dynamic
     # while_loop (config.py early_exit); float texture sampling so texel
-    # gradients flow (the packed-u32 path is quantized/non-differentiable)
+    # gradients flow (the u32 texel-pool path is quantized/non-differentiable)
     cfg = cfg.replace(early_exit=False, trainable_textures=True)
     acc = render_pass(scn, meta, cfg, cam, px, py,
                       jnp.int32(0), n_samples, key)
