@@ -106,8 +106,9 @@ def bench_wavefront(cfg, sc, arrays, meta, spp):
     from pathtracer_tpu.render.integrator import _render_tile_jit
 
     W, H = cfg.width, cfg.height
-    spp_chunk = cfg.samples_per_pass
-    n_chunks = spp // spp_chunk
+    spp_chunk = min(cfg.samples_per_pass, spp)
+    cfg = cfg.replace(samples_per_pass=spp_chunk)
+    n_chunks = max(1, spp // spp_chunk)
     ys, xs = np.mgrid[0:H, 0:W]
     px = jnp.asarray(xs.ravel(), jnp.int32)
     py = jnp.asarray(ys.ravel(), jnp.int32)
@@ -132,7 +133,8 @@ def main():
     from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.scenes import get_scene
 
-    width, height = 1280, 960
+    width = int(os.environ.get("BENCH_WIDTH", "1280"))
+    height = int(os.environ.get("BENCH_HEIGHT", "960"))
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     # 128-spp launches amortize per-launch overhead best (same config the
     # driver uses for full renders); 64 measured ~9% lower
@@ -158,7 +160,7 @@ def main():
 
     msps = samples / dt / 1e6
     print(json.dumps({
-        "metric": f"{scene}_1280x960_Msamples_per_sec",
+        "metric": f"{scene}_{width}x{height}_Msamples_per_sec",
         "value": round(msps, 3),
         "unit": "Msamples/s",
         "vs_baseline": round(
