@@ -116,6 +116,30 @@ static void split_fields(const char *b, const char *e,
   }
 }
 
+// Non-throwing numeric parsing: std::stod/stoi throw on malformed input
+// and the exception would cross the extern "C"/ctypes boundary
+// (std::terminate). Malformed fields make the line an ignored_line
+// instead, like any other unrecognized content.
+static bool parse_d(const std::string &s, double &out) {
+  char *e = nullptr;
+  out = std::strtod(s.c_str(), &e);
+  return e != s.c_str();
+}
+static bool parse_l(const std::string &s, long &out) {
+  char *e = nullptr;
+  out = std::strtol(s.c_str(), &e, 10);
+  return e != s.c_str();
+}
+// OBJ indices are 1-based; negative indices are OBJ-legal and relative
+// to the current end of the list (the Python parser gets this for free
+// from list[-k]). Returns 0 on out-of-range (callers treat 0 as bad —
+// slot 0 is the placeholder, objparser.go:22-23).
+static size_t resolve_index(long idx, size_t size) {
+  if (idx < 0) idx += static_cast<long>(size);
+  if (idx <= 0 || idx >= static_cast<long>(size)) return 0;
+  return static_cast<size_t>(idx);
+}
+
 Obj *parse_obj_impl(const char *text, const char *mtl_names,
                     const double *mtl_colors, const double *mtl_refr,
                     int n_mtl, int compute_normals) {
@@ -153,11 +177,17 @@ Obj *parse_obj_impl(const char *text, const char *mtl_names,
     }
     const std::string &tag = f[0];
     if (tag == "v" && f.size() >= 4) {
-      verts.push_back(
-          {std::stod(f[1]), std::stod(f[2]), std::stod(f[3])});
+      V3 v;
+      if (parse_d(f[1], v.x) && parse_d(f[2], v.y) && parse_d(f[3], v.z))
+        verts.push_back(v);
+      else
+        obj->ignored_lines++;
     } else if (tag == "vn" && f.size() >= 4) {
-      normals.push_back(
-          {std::stod(f[1]), std::stod(f[2]), std::stod(f[3])});
+      V3 v;
+      if (parse_d(f[1], v.x) && parse_d(f[2], v.y) && parse_d(f[3], v.z))
+        normals.push_back(v);
+      else
+        obj->ignored_lines++;
     } else if (tag == "usemtl" && f.size() >= 2) {
       auto it = mtl_index.find(f[1]);
       if (it != mtl_index.end()) {
@@ -172,26 +202,37 @@ Obj *parse_obj_impl(const char *text, const char *mtl_names,
           std::memchr(lb, '/', static_cast<size_t>(le - lb)) != nullptr;
       for (size_t i = 2; i + 1 < f.size(); ++i) {
         Tri t;
-        int vi[3], ni[3] = {0, 0, 0};
+        size_t vi[3], ni[3] = {0, 0, 0};
+        bool ok = true;
         const std::string *fp[3] = {&f[1], &f[i], &f[i + 1]};
         for (int k = 0; k < 3; ++k) {
           const std::string &s = *fp[k];
           size_t s1 = s.find('/');
-          vi[k] = std::stoi(s.substr(0, s1));
+          long raw;
+          if (!parse_l(s.substr(0, s1), raw)) { ok = false; break; }
+          vi[k] = resolve_index(raw, verts.size());
+          if (vi[k] == 0) { ok = false; break; }
           if (s1 != std::string::npos) {
             size_t s2 = s.find('/', s1 + 1);
-            if (s2 != std::string::npos && s2 + 1 < s.size())
-              ni[k] = std::stoi(s.substr(s2 + 1));
+            if (s2 != std::string::npos && s2 + 1 < s.size()
+                && parse_l(s.substr(s2 + 1), raw))
+              ni[k] = resolve_index(raw, normals.size());
           }
         }
-        t.p1 = verts[static_cast<size_t>(vi[0])];
-        t.p2 = verts[static_cast<size_t>(vi[1])];
-        t.p3 = verts[static_cast<size_t>(vi[2])];
+        if (!ok) {
+          // malformed or out-of-range face corner: drop the whole face
+          // (counted once as an ignored line below, per face line)
+          obj->ignored_lines++;
+          break;
+        }
+        t.p1 = verts[vi[0]];
+        t.p2 = verts[vi[1]];
+        t.p3 = verts[vi[2]];
         t.face_n = normalized(cross(sub(t.p3, t.p1), sub(t.p2, t.p1)));
-        if (has_slash && ni[0] > 0) {
-          t.n1 = normals[static_cast<size_t>(ni[0])];
-          t.n2 = normals[static_cast<size_t>(ni[1])];
-          t.n3 = normals[static_cast<size_t>(ni[2])];
+        if (has_slash && ni[0] > 0 && ni[1] > 0 && ni[2] > 0) {
+          t.n1 = normals[ni[0]];
+          t.n2 = normals[ni[1]];
+          t.n3 = normals[ni[2]];
         } else {
           t.n1 = t.n2 = t.n3 = t.face_n;
         }
@@ -383,8 +424,14 @@ extern "C" {
 void *sc_parse_obj(const char *text, const char *mtl_names,
                    const double *mtl_colors, const double *mtl_refr,
                    int n_mtl, int compute_normals) {
-  return parse_obj_impl(text, mtl_names, mtl_colors, mtl_refr, n_mtl,
-                        compute_normals);
+  // no exception may cross the ctypes boundary (std::terminate);
+  // NULL tells the Python side to fall back to its own parser
+  try {
+    return parse_obj_impl(text, mtl_names, mtl_colors, mtl_refr, n_mtl,
+                          compute_normals);
+  } catch (...) {
+    return nullptr;
+  }
 }
 
 void sc_obj_counts(void *h, int *n_tris, int *n_groups, int *names_len,

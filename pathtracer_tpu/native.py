@@ -95,7 +95,7 @@ class ObjData:
 
 
 def parse_obj(text: str, mtl: Optional[dict] = None,
-              compute_normals: bool = False) -> ObjData:
+              compute_normals: bool = False) -> Optional[ObjData]:
     """Parse .obj text natively. `mtl` maps material name -> Mtl (already
     parsed in Python — it owns file IO); colors are resolved like
     Mtl.to_material (Ka+Kd+Ks summed, objparser.go:181-196)."""
@@ -119,6 +119,10 @@ def parse_obj(text: str, mtl: Optional[dict] = None,
         text.encode(), "\n".join(names).encode(), colors, refrs,
         len(names), 1 if compute_normals else 0,
     )
+    if not h:
+        # the C side returns NULL instead of letting an exception cross
+        # the ctypes boundary; callers fall back to the Python parser
+        return None
     try:
         n_tris = ct.c_int()
         n_groups = ct.c_int()

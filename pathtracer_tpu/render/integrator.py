@@ -667,7 +667,11 @@ def render(scn: SceneArrays, meta: SceneMeta, camera: Camera,
 
     spp_chunk = min(cfg.samples_per_pass, cfg.samples)
     cfg = cfg.replace(samples_per_pass=spp_chunk)
-    n_chunks = max(1, cfg.samples // spp_chunk)
+    # ceil like the driver (driver.py): flooring would both under-render
+    # and mis-normalize a non-divisible sample budget (samples=10 with
+    # chunk 8 used to render 8 samples yet divide by 10)
+    n_chunks = max(1, (cfg.samples + spp_chunk - 1) // spp_chunk)
+    total_spp = n_chunks * spp_chunk
 
     rows = cfg.rows_per_pass or H
     out = np.zeros((H, W, 3), dtype=np.float32)
@@ -684,4 +688,4 @@ def render(scn: SceneArrays, meta: SceneMeta, camera: Camera,
         ).astype(np.float32)
         out[y0:y1] = stacked.reshape(y1 - y0, W, 3)
 
-    return out / float(cfg.samples)
+    return out / float(total_spp)

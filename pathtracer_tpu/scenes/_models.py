@@ -43,10 +43,13 @@ def load_model(name: str, normals_groups: int = 0) -> Group:
                 break
         soup = native.parse_obj(text, mtl=mtl,
                                 compute_normals=normals_groups != 0)
-        group = Group(label="ROOT")
-        group.soup = soup
-        group.bounds()
-        return group
+        if soup is not None:
+            group = Group(label="ROOT")
+            group.soup = soup
+            group.bounds()
+            return group
+        # native parse failed (returns None instead of crashing on
+        # pathological input) — fall through to the Python parser
 
     model = parse_obj(text, mtl_dir=mtl_dir)
     group = model.to_group()

@@ -12,9 +12,12 @@ def test_bench_emits_valid_json():
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
            "BENCH_BACKEND": "wavefront", "BENCH_SPP": "2",
            "BENCH_WIDTH": "64", "BENCH_HEIGHT": "48"}
+    # generous budget: this is a round-record-critical contract test and
+    # must not flake when the whole suite loads the CPU (it took 124 s
+    # standalone but >300 s under full-suite contention in round 1)
     res = subprocess.run(
         [sys.executable, str(root / "bench.py")],
-        capture_output=True, text=True, timeout=300, cwd=str(root),
+        capture_output=True, text=True, timeout=900, cwd=str(root),
         env=env,
     )
     assert res.returncode == 0, res.stderr[-2000:]

@@ -85,3 +85,18 @@ def test_render_default_scene_with_bvh(tiny_cfg):
     img = render(arrays, meta, sc.camera, tiny_cfg)
     assert np.isfinite(img).all()
     assert 0.01 < img.mean() < 0.6
+
+
+def test_render_non_divisible_spp_normalization():
+    """samples=10 with chunk 8 must render (and normalize by) ceil-rounded
+    16 samples, not render 8 and divide by 10 (regression: integrator.py
+    used to floor n_chunks and divide by cfg.samples)."""
+    cfg10 = RenderConfig(width=16, height=12, samples=10, samples_per_pass=8)
+    cfg16 = RenderConfig(width=16, height=12, samples=16, samples_per_pass=8)
+    sc = get_scene("reference", cfg10)
+    arrays, meta = pack_scene(sc.objects)
+    img10 = render(arrays, meta, sc.camera, cfg10)
+    img16 = render(arrays, meta, sc.camera, cfg16)
+    # with aperture 0 the sample budget only sets chunk count + divisor:
+    # both configs run 2 chunks of 8 and divide by 16 -> bitwise equal
+    np.testing.assert_array_equal(img10, img16)

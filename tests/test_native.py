@@ -105,3 +105,43 @@ def test_bvh_native_matches_python():
     np.testing.assert_array_equal(py_pool.tri_p1, nat_pool.tri_p1)
     np.testing.assert_array_equal(py_pool.tri_e1, nat_pool.tri_e1)
     np.testing.assert_array_equal(py_pool.tri_color, nat_pool.tri_color)
+
+
+def test_parse_obj_negative_indices_resolve_relative():
+    """OBJ-legal negative indices resolve relative to the current vertex
+    count (the Python parser gets this for free from list[-k])."""
+    text = "\n".join([
+        "v 0 0 0",
+        "v 1 0 0",
+        "v 0 1 0",
+        "f -3 -2 -1",
+    ])
+    nat = native.parse_obj(text)
+    assert nat is not None and nat.n_tris == 1
+    py = parse_obj(text).all_triangles()
+    np.testing.assert_array_equal(nat.p1[0], py[0].p1[:3])
+    np.testing.assert_array_equal(nat.p3[0], py[0].p3[:3])
+
+
+def test_parse_obj_pathological_input_does_not_crash():
+    """Out-of-range indices, malformed numbers, and junk must not read out
+    of bounds or throw across the ctypes boundary — bad faces/lines are
+    dropped and counted as ignored."""
+    text = "\n".join([
+        "v 0 0 0",
+        "v 1 0 0",
+        "v 0 1 0",
+        "f 1 2 3",          # good
+        "f 1 2 99",         # out-of-range vertex
+        "f 0 1 2",          # 0 is the placeholder slot (illegal in OBJ)
+        "f 1 2 xyz",        # malformed integer
+        "v a b c",          # malformed floats
+        "f -99 1 2",        # negative out of range
+        "f 1//1 2//9 3//1",  # normal index out of range -> face normal
+    ])
+    nat = native.parse_obj(text)
+    assert nat is not None
+    # the good face plus the face whose bad normal falls back to face-n
+    assert nat.n_tris == 2
+    assert nat.ignored_lines >= 5
+    np.testing.assert_allclose(nat.n1[1], nat.face_n[1], atol=1e-12)
