@@ -33,18 +33,20 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     from pathtracer_tpu.render import pallas_kernel as pk
 
     W, H = cfg.width, cfg.height
-    S, L = 64, 256   # swept on hardware; see render/pallas_kernel.default_tile
-    n_pix = W * H
-    pad = (-n_pix) % (S * L)
-    ids = np.arange(n_pix + pad)
-    px = jnp.asarray((ids % W).astype(np.int32).reshape(-1, L))
-    py = jnp.asarray(np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
+    # use the same tile the driver uses for this scene kind (mesh scenes
+    # want (8, 512) packets; a fixed (64, 256) understated mesh rates)
+    tile_env = os.environ.get("BENCH_TILE")
+    S, L = (tuple(int(v) for v in tile_env.split("x")) if tile_env
+            else pk.default_tile(meta))
+    xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L)
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
     cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
     obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
 
     def run(seed, force=False):
         r, _, _ = pk.trace_tiles(
-            jnp.asarray([seed], jnp.int32), cam_vec, obj, nodes, tris,
+            jnp.asarray([seed, 0], jnp.int32), cam_vec, obj, nodes, tris,
             px, py, meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples,
             tile=(S, L),
         )

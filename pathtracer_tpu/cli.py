@@ -119,6 +119,21 @@ def main(argv=None) -> int:
     except Exception:
         pass
 
+    # multi-host: join the jax.distributed cluster BEFORE any backend
+    # init (same contract as tests/_multihost_worker.py). Explicit via
+    # PT_COORDINATOR=host:port [PT_NUM_PROCESSES, PT_PROCESS_ID]; on TPU
+    # pod slices the remaining arguments auto-detect.
+    if os.environ.get("PT_COORDINATOR"):
+        from .parallel.multihost import initialize_multihost
+
+        npr = os.environ.get("PT_NUM_PROCESSES")
+        pid = os.environ.get("PT_PROCESS_ID")
+        initialize_multihost(
+            coordinator_address=os.environ["PT_COORDINATOR"],
+            num_processes=int(npr) if npr else None,
+            process_id=int(pid) if pid else None,
+        )
+
     args = build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
@@ -174,11 +189,9 @@ def main(argv=None) -> int:
     log.info("scene %s: %d objects, %d BVH nodes, %d triangle slots",
              args.scene, meta.n_objects, meta.n_nodes, meta.n_tri_slots)
 
+    mesh = None
     if args.distributed or args.mesh:
-        import numpy as np
-
         from .parallel.mesh import make_mesh, mesh_shape_for
-        from .parallel.render_dist import render_sharded
 
         devices = jax.devices()
         if args.mesh:
@@ -187,20 +200,21 @@ def main(argv=None) -> int:
             shape = mesh_shape_for(len(devices))
         mesh = make_mesh(devices[:shape[0] * shape[1]], shape=shape)
         log.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
-        img = render_sharded(arrays, meta, sc.camera, cfg, mesh)
-        stats = None
-    else:
-        if args.device_index:
-            jax.config.update(
-                "jax_default_device", jax.devices()[args.device_index]
-            )
-        img, stats = render_driver(
-            arrays, meta, sc.camera, cfg,
-            checkpoint_path=args.checkpoint,
-            checkpoint_every=args.checkpoint_every,
-            resume=args.resume,
-            profile_dir=args.profile,
+    elif args.device_index:
+        jax.config.update(
+            "jax_default_device", jax.devices()[args.device_index]
         )
+    # one driver entry for everything, like the reference's tracer.Render
+    # (pathtracer.go:19): distributed renders keep checkpoints, failure
+    # recovery and metrics — only the per-segment compute is sharded
+    img, stats = render_driver(
+        arrays, meta, sc.camera, cfg,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+        profile_dir=args.profile,
+        mesh=mesh,
+    )
 
     dt = time.perf_counter() - t0
     log.info("render took %.2fs%s", dt,

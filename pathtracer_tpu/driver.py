@@ -150,6 +150,15 @@ def render_driver(
     cfg = cfg.replace(samples_per_pass=spp_chunk)
     n_chunks = max(1, (cfg.samples + spp_chunk - 1) // spp_chunk)
 
+    if cfg.backend == "pallas" and not pk.supports_scene(meta):
+        # forcing the megakernel on an unsupported scene would silently
+        # render it wrong (no textures in the SMEM table; misaligned leaf
+        # rows compute garbage) — fail loudly instead
+        raise ValueError(
+            "--backend pallas: scene is not supported by the megakernel "
+            "(textured/normal-mapped scene or BVH leaf size not a "
+            "multiple of 4); use --backend auto or wavefront"
+        )
     use_pallas = (
         cfg.backend == "pallas"
         or (cfg.backend == "auto"
@@ -160,16 +169,26 @@ def render_driver(
             and pk.supports_scene(meta))
     )
     backend_name = "pallas" if use_pallas else "wavefront"
-    log.info("backend: %s", "pallas megakernel" if use_pallas
-             else "wavefront")
+    spp_axis = 1
+    finalize = None
+    padded_pixels = H * W
+    if mesh is not None:
+        # distributed render: same driver loop (segments, checkpoints,
+        # recovery, metrics), per-segment compute shard_mapped over the
+        # mesh. The chunk schedule is rounded to the 'spp' axis so every
+        # device renders an equal share of each segment.
+        spp_axis = mesh.shape["spp"]
+        n_chunks = ((n_chunks + spp_axis - 1) // spp_axis) * spp_axis
+        # the mesh shape is part of the RNG stream layout -> must match
+        # on resume (enforced via the checkpoint's backend tag)
+        backend_name += "@%dx%d" % (mesh.shape["pixels"], spp_axis)
+    log.info("backend: %s", backend_name)
 
-    accum = np.zeros((H * W, 3), dtype=np.float64)
-    start_chunk = 0
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        accum, start_chunk = _checkpoint_load(
-            checkpoint_path, cfg, backend_name, checkpoint_every)
-        log.info("resumed from %s at chunk %d/%d",
-                 checkpoint_path, start_chunk, n_chunks)
+    if mesh is not None:
+        from .parallel.render_dist import make_driver_segments
+
+        segment, finalize, padded_pixels = make_driver_segments(
+            scn, meta, camera, cfg, mesh, use_pallas, key)
 
     ys, xs = np.mgrid[0:H, 0:W]
     px = jnp.asarray(xs.ravel(), jnp.int32)
@@ -192,14 +211,18 @@ def render_driver(
             (jnp.int32(0), init),
         )[1]
 
-    if use_pallas:
+    if mesh is not None:
+        pass  # sharded segment built above
+    elif use_pallas:
         S, L = pk.default_tile(meta)
-        n_pix = W * H
-        pad = (-n_pix) % (S * L)
-        ids = np.arange(n_pix + pad)
-        px2 = jnp.asarray((ids % W).astype(np.int32).reshape(-1, L))
-        py2 = jnp.asarray(
-            np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
+        xs2, ys2, pid = pk.tile_pixel_layout(W, H, S, L)
+        px2 = jnp.asarray(xs2)
+        py2 = jnp.asarray(ys2)
+        padded_pixels = pid.shape[0]
+
+        def finalize(acc):
+            return pk.untile_image(acc, pid, W, H)
+
         cam_vec = jnp.asarray(pk.build_camera_vec(camera))
         # build the SMEM/VMEM tables ON DEVICE (scene arrays already live
         # there; the numpy builders would device_get each field, and tiny
@@ -207,15 +230,18 @@ def render_driver(
         obj_table, nodes, tris = pk.scene_tables_jnp(scn, meta)
 
         def segment(c0: int, n: int, k) -> Vec3:
-            # independent PRNG stream per segment, derived from (seed, c0)
-            seed = jnp.asarray([cfg.seed * 7919 + int(c0) + 1], jnp.int32)
+            # independent PRNG stream per segment, derived from (seed, c0);
+            # the second slot is the global sample base so segmented DoF
+            # covers the full sunflower spiral, not indices 0..spp-1 again
+            seed = jnp.asarray(
+                [cfg.seed * 7919 + int(c0) + 1, int(c0) * spp_chunk],
+                jnp.int32)
             r, g, b = pk.trace_tiles(
                 seed, cam_vec, obj_table, nodes, tris, px2, py2,
                 meta=meta, cfg=cfg, spp=int(n) * spp_chunk,
                 total_samples=cfg.samples, tile=(S, L),
             )
-            flat = lambda a: a.reshape(-1)[:n_pix]
-            return Vec3(flat(r), flat(g), flat(b))
+            return Vec3(r.reshape(-1), g.reshape(-1), b.reshape(-1))
     else:
         # BVH traversal on the wavefront path is gather-bound on real TPU
         # hardware and a full-image launch can run long enough to trip the
@@ -260,6 +286,16 @@ def render_driver(
             return Vec3(cat(lambda o: o.x), cat(lambda o: o.y),
                         cat(lambda o: o.z))
 
+    accum = np.zeros((padded_pixels, 3), dtype=np.float64)
+    start_chunk = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        accum, start_chunk = _checkpoint_load(
+            checkpoint_path, cfg, backend_name, checkpoint_every)
+        assert accum.shape[0] == padded_pixels, (
+            "checkpoint pixel layout mismatch")
+        log.info("resumed from %s at chunk %d/%d",
+                 checkpoint_path, start_chunk, n_chunks)
+
     if checkpoint_every > 0:
         seg_len = checkpoint_every
     else:
@@ -274,13 +310,21 @@ def render_driver(
         default_spp = "128" if not meta.has_groups else "8"
         seg_spp = int(os.environ.get("PT_SEG_SPP", default_spp))
         seg_len = max(1, min(n_chunks, max(1, seg_spp // spp_chunk)))
-    stats = RenderStats(
-        backend="pallas" if use_pallas else "wavefront")
+    if spp_axis > 1:
+        # whole segments distribute evenly over the 'spp' mesh axis
+        seg_len = ((seg_len + spp_axis - 1) // spp_axis) * spp_axis
+    stats = RenderStats(backend=backend_name)
     t_total = time.perf_counter()
 
     def to_np(v: "Vec3") -> np.ndarray:
+        if mesh is not None and jax.process_count() > 1:
+            from .parallel.render_dist import _fetch
+
+            get = _fetch
+        else:
+            get = np.asarray
         return np.stack(
-            [np.asarray(v.x), np.asarray(v.y), np.asarray(v.z)], axis=-1,
+            [get(v.x), get(v.y), get(v.z)], axis=-1,
         ).astype(np.float64)
 
     # failure recovery knobs: device partials flush to host at least every
@@ -373,6 +417,8 @@ def render_driver(
 
     stats.wall_s = time.perf_counter() - t_total
     total_spp = n_chunks * spp_chunk
+    if finalize is not None:
+        accum = finalize(accum)
     img = (accum / float(total_spp)).astype(np.float32).reshape(H, W, 3)
     return img, stats
 

@@ -154,6 +154,153 @@ def render_sharded(
     return out[:P_total].reshape(H, W, 3)
 
 
+def make_driver_segments(
+    scn: SceneArrays,
+    meta: SceneMeta,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    use_pallas: bool,
+    key: jax.Array,
+):
+    """Sharded per-segment render functions for `render_driver(mesh=...)`.
+
+    This is what unifies distribution with the driver (the reference has
+    ONE driver entry for everything, internal/app/tracer/pathtracer.go:19):
+    the driver keeps its chunk loop, checkpointing, failure recovery and
+    metrics, and only the per-segment compute is swapped for a shard_map
+    over the mesh — megakernel when the scene supports it, wavefront
+    otherwise, sample partials psum-reduced over the 'spp' axis.
+
+    Returns (segment, finalize, padded_pixels):
+    - segment(c0, n, k) -> Vec3 of globally sharded per-pixel partial sums
+      for global chunks [c0, c0+n); n must be a multiple of the 'spp'
+      axis size (the driver rounds its schedule accordingly)
+    - finalize(accum [padded_pixels, 3]) -> [H*W, 3] in image order
+    """
+    W, H = camera.width, camera.height
+    spp_axis = mesh.shape["spp"]
+    n_shards = mesh.shape["pixels"]
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    shard = NamedSharding(mesh, P("pixels"))
+    rep = NamedSharding(mesh, P())
+    spp_chunk = cfg.samples_per_pass
+    n_pix = W * H
+
+    if use_pallas:
+        from ..render import pallas_kernel as pk
+
+        S, L = pk.default_tile(meta)
+        xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
+                                           shard_granule=n_shards)
+        px = _put_sharded(xs, shard)
+        py = _put_sharded(ys, shard)
+        cam_vec = pk.build_camera_vec(camera)
+        if jax.process_count() > 1:
+            obj = pk.build_scene_table(scn, meta)
+            nodes, tris = pk.build_mesh_tables(scn, meta)
+            cam_vec, obj, nodes, tris = (
+                _put_sharded(a, rep) for a in (cam_vec, obj, nodes, tris))
+        else:
+            cam_vec = jnp.asarray(cam_vec)
+            obj, nodes, tris = pk.scene_tables_jnp(scn, meta)
+
+        @functools.lru_cache(maxsize=None)
+        def fn_for(n):
+            # spp per device for this segment length (static for the
+            # megernel's in-kernel sample loop)
+            local_spp = (n // spp_axis) * spp_chunk
+
+            def body(cam_vec, obj, nodes, tris, px_s, py_s, c0):
+                pix_rank = jax.lax.axis_index("pixels")
+                spp_rank = jax.lax.axis_index("spp")
+                # independent PRNG stream per (segment, shard)
+                seed = (jnp.int32(cfg.seed) * 7919
+                        + c0 * jnp.int32(mesh.size)
+                        + pix_rank * jnp.int32(spp_axis) + spp_rank + 1)
+                # global sunflower base: segment start plus this
+                # spp-shard's slice of the segment's samples
+                base = c0 * jnp.int32(spp_chunk) \
+                    + spp_rank * jnp.int32(local_spp)
+                r, g, b = pk.trace_tiles(
+                    jnp.stack([seed, base]), cam_vec, obj, nodes, tris,
+                    px_s, py_s, meta=meta, cfg=cfg, spp=local_spp,
+                    total_samples=cfg.samples, tile=(S, L))
+                return (jax.lax.psum(r, "spp"), jax.lax.psum(g, "spp"),
+                        jax.lax.psum(b, "spp"))
+
+            return jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P("pixels"), P("pixels"),
+                          P()),
+                out_specs=(P("pixels"),) * 3,
+                check_vma=False,
+            ))
+
+        def segment(c0, n, k):
+            assert n % spp_axis == 0, (n, spp_axis)
+            r, g, b = fn_for(int(n))(cam_vec, obj, nodes, tris, px, py,
+                                     jnp.int32(c0))
+            return Vec3(r.reshape(-1), g.reshape(-1), b.reshape(-1))
+
+        def finalize(acc):
+            return pk.untile_image(acc, pid, W, H)
+
+        return segment, finalize, pid.shape[0]
+
+    # ---- wavefront over the mesh (all scenes) -------------------------
+    pad = (-n_pix) % (n_shards * 8)
+    ids = np.arange(n_pix + pad)
+    xs = ids % W
+    ys = np.minimum(ids // W, H - 1)
+    # stride-interleave pixels across shards (decorrelates the load from
+    # spatially clustered path lengths; see render_sharded)
+    perm = ids.reshape(-1, n_shards).T.reshape(-1)
+    px = _put_sharded(np.asarray(xs[perm], np.int32), shard)
+    py = _put_sharded(np.asarray(ys[perm], np.int32), shard)
+    cam = camera.pack(dtype)
+    if jax.process_count() > 1:
+        scn = jax.tree_util.tree_map(lambda a: _put_sharded(a, rep), scn)
+        cam = jax.tree_util.tree_map(lambda a: _put_sharded(a, rep), cam)
+        key = _put_sharded(np.asarray(key), rep)
+
+    from ..render.integrator import render_pass
+
+    def body(scn_, cam_, px_, py_, key_, c0, n):
+        spp_rank = jax.lax.axis_index("spp")
+        key_ = jax.random.fold_in(key_, jax.lax.axis_index("pixels"))
+
+        def chunk(i, acc):
+            gc = c0 + i * spp_axis + spp_rank
+            k = jax.random.fold_in(key_, gc)
+            s0 = (gc * spp_chunk).astype(jnp.int32)
+            return acc + render_pass(scn_, meta, cfg, cam_, px_, py_, s0,
+                                     spp_chunk, k)
+
+        acc = jax.lax.fori_loop(
+            0, n // spp_axis, chunk,
+            Vec3.zeros((px_.shape[0],), cam_.inverse.dtype))
+        return jax.lax.psum(acc, axis_name="spp")
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("pixels"), P("pixels"), P(), P(), P()),
+        out_specs=P("pixels"),
+        check_vma=False,
+    ))
+
+    def segment(c0, n, k):
+        assert n % spp_axis == 0, (n, spp_axis)
+        return fn(scn, cam, px, py, key, jnp.int32(c0), jnp.int32(n))
+
+    def finalize(acc):
+        out = np.empty((n_pix + pad, acc.shape[-1]), dtype=acc.dtype)
+        out[perm] = acc
+        return out[:n_pix]
+
+    return segment, finalize, n_pix + pad
+
+
 def render_sharded_pallas(
     scn: SceneArrays,
     meta: SceneMeta,
@@ -181,12 +328,8 @@ def render_sharded_pallas(
 
     # tile rows padded so each pixel shard holds a whole number of tiles
     n_pix = W * H
-    rows = -(-n_pix // L)
-    rows += (-rows) % (S * n_pix_shards)
-    ids = np.arange(rows * L)
-    xs = (ids % W).astype(np.int32).reshape(rows, L)
-    ys = np.minimum(np.minimum(ids // W, H - 1),
-                    H - 1).astype(np.int32).reshape(rows, L)
+    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
+                                       shard_granule=n_pix_shards)
 
     shard = NamedSharding(mesh, P("pixels"))
     rep = NamedSharding(mesh, P())
@@ -212,8 +355,11 @@ def render_sharded_pallas(
         spp_rank = jax.lax.axis_index("spp")
         seed = (jnp.int32(cfg.seed) * 7919
                 + pix_rank * jnp.int32(spp_axis) + spp_rank + 1)
+        # global sample base: this spp-shard renders samples
+        # [spp_rank*local_spp, (spp_rank+1)*local_spp) of the sunflower
+        base = spp_rank * jnp.int32(local_spp)
         r, g, b = pk.trace_tiles(
-            seed[None], cam_vec, obj, nodes, tris, px_s, py_s,
+            jnp.stack([seed, base]), cam_vec, obj, nodes, tris, px_s, py_s,
             meta=meta, cfg=cfg, spp=local_spp, total_samples=cfg.samples,
             tile=(S, L),
         )
@@ -231,5 +377,5 @@ def render_sharded_pallas(
     )
     r, g, b = fn(cam_vec, obj, nodes, tris, px, py)
     img = np.stack([_fetch(r), _fetch(g), _fetch(b)], axis=-1)
-    return (img.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
-            / float(total_spp))
+    img = pk.untile_image(img.reshape(-1, 3), pid, W, H)
+    return img.reshape(H, W, 3) / float(total_spp)

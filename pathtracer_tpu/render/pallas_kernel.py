@@ -148,6 +148,79 @@ def default_tile(meta: SceneMeta) -> Tuple[int, int]:
     return (8, 512) if meta.has_groups else (64, 256)
 
 
+def tile_pixel_layout(W: int, H: int, S: int, L: int,
+                      shard_granule: int = 1, order: str = None):
+    """Assign pixels to ray tiles.
+
+    Returns (px [rows, L] i32, py [rows, L] i32, pid [rows*L] i64) where
+    pid maps each tile slot to its flat pixel index (-1 = padding slot;
+    padding renders a duplicate pixel and is dropped by untile_image).
+
+    order:
+    - "linear" — scanline order (tile = S*L consecutive pixels, ~3 full
+      rows at 1280 wide). The round-1 layout.
+    - "block"  — square pixel blocks of S*L pixels (64x64 for the mesh
+      tile): each packet is spatially COMPACT, so its rays traverse
+      similar BVH regions. Packet traversal pays the UNION of its rays'
+      node/leaf visits (_packet_traverse) — compact packets shrink that
+      union for primary rays and keep it correlated across bounces, and
+      whole packets over dead regions early-out. This is the difference
+      between ~3-scanline strips that all intersect the mesh's screen
+      band and square blocks most of which never touch it.
+    - None/"auto" — PT_TILE_ORDER env override, else "block".
+
+    rows is padded to a multiple of S*shard_granule so shard_map can
+    split tile rows evenly across 'pixels' shards.
+    """
+    import os
+
+    if order is None:
+        order = os.environ.get("PT_TILE_ORDER", "block")
+    tile_sz = S * L
+    n_pix = W * H
+
+    if order == "block":
+        side = int(math.isqrt(tile_sz))
+        while tile_sz % side:
+            side -= 1
+        bw, bh = tile_sz // side, side    # e.g. 4096 -> 64x64
+        nbx = -(-W // bw)
+        nby = -(-H // bh)
+        k = np.arange(nbx * nby * tile_sz)
+        b = k // tile_sz                  # block id
+        i = k % tile_sz                   # slot within block
+        x = (b % nbx) * bw + i % bw
+        y = (b // nbx) * bh + i // bw
+        valid = (x < W) & (y < H)
+        pid = np.where(valid, y * W + x, -1)
+        xs = np.minimum(x, W - 1).astype(np.int32)
+        ys = np.minimum(y, H - 1).astype(np.int32)
+    else:
+        pad = (-n_pix) % tile_sz
+        ids = np.arange(n_pix + pad)
+        pid = np.where(ids < n_pix, ids, -1)
+        xs = (ids % W).astype(np.int32)
+        ys = np.minimum(ids // W, H - 1).astype(np.int32)
+
+    rows = xs.shape[0] // L
+    extra = (-rows) % (S * shard_granule)
+    if extra:
+        xs = np.concatenate([xs, np.full(extra * L, W - 1, np.int32)])
+        ys = np.concatenate([ys, np.full(extra * L, H - 1, np.int32)])
+        pid = np.concatenate([pid, np.full(extra * L, -1, pid.dtype)])
+        rows += extra
+    return xs.reshape(rows, L), ys.reshape(rows, L), pid
+
+
+def untile_image(flat: np.ndarray, pid: np.ndarray, W: int, H: int
+                 ) -> np.ndarray:
+    """Scatter tiled per-slot values [rows*L, C] back to [H*W, C]."""
+    out = np.zeros((W * H, flat.shape[-1]), dtype=flat.dtype)
+    valid = pid >= 0
+    out[pid[valid]] = flat[valid]
+    return out
+
+
 def build_camera_vec(cam) -> np.ndarray:
     """Build the SMEM camera vector from the HOST Camera (numpy fields).
 
@@ -437,6 +510,11 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
     def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, px_ref,
                py_ref, out_r, out_g, out_b):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        # global sample base for segmented/sharded launches: the sunflower
+        # DoF index must be n + base, not n, or every segment re-samples
+        # lens points 0..spp-1 (wrong bokeh; the wavefront path threads s0
+        # through rays_for_pixels for the same reason)
+        sample_base = seed_ref[1]
 
         fx = px_ref[...].astype(jnp.float32)
         fy = py_ref[...].astype(jnp.float32)
@@ -476,7 +554,7 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             dx, dy, dz = _normalize(pxw - oxw, pyw - oyw, pzw - ozw)
 
             # DoF via sunflower(totalSamples, alpha=2, n) (tracer.cl:762-776)
-            nf = n.astype(jnp.float32)
+            nf = (n + sample_base).astype(jnp.float32)
             r_sun = jnp.where(
                 nf <= (sun_n - sun_b),
                 jnp.sqrt(jnp.maximum(nf - 0.5, 0.0))
@@ -809,7 +887,7 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                      "interpret"),
 )
 def trace_tiles(
-    seed: jnp.ndarray,          # i32 scalar-like [1]
+    seed: jnp.ndarray,          # i32 [2]: (prng seed, global sample base)
     cam_vec: jnp.ndarray,       # [_CAM_COLS] f32
     obj_table: jnp.ndarray,     # [No, _OBJ_COLS] f32
     node_table: jnp.ndarray,    # [Nn, _NODE_COLS] f32 (dummy if no mesh)
@@ -866,29 +944,22 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
     assert supports_scene(meta), "scene not supported by the megakernel"
     W, H = camera.width, camera.height
     S, L = tile if tile is not None else default_tile(meta)
-    tile_sz = S * L
 
-    n_pix = W * H
-    pad = (-n_pix) % tile_sz
-    ids = np.arange(n_pix + pad)
-    xs = (ids % W).astype(np.int32)
-    ys = np.minimum(ids // W, H - 1).astype(np.int32)
-    rows = (n_pix + pad) // L
-
-    px = jnp.asarray(xs.reshape(rows, L))
-    py = jnp.asarray(ys.reshape(rows, L))
+    xs, ys, pid = tile_pixel_layout(W, H, S, L)
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
     cam_vec = jnp.asarray(build_camera_vec(camera))
     obj_table, nodes, tris = scene_tables_jnp(scn, meta)
 
     spp = cfg.samples
     r, g, b = trace_tiles(
-        jnp.asarray([seed if seed is not None else cfg.seed], jnp.int32),
+        jnp.asarray([seed if seed is not None else cfg.seed, 0], jnp.int32),
         cam_vec, obj_table, nodes, tris, px, py,
         meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples, tile=(S, L),
         interpret=interpret,
     )
     img = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
-    img = img.reshape(-1, 3)[:n_pix].reshape(H, W, 3)
+    img = untile_image(img.reshape(-1, 3), pid, W, H).reshape(H, W, 3)
     return img / float(cfg.samples)
 
 

@@ -55,3 +55,72 @@ def test_render_sharded_pixels_only_mesh(setup):
     img = render_sharded(arrays, meta, sc.camera, cfg, mesh)
     assert np.isfinite(img).all()
     assert 0.05 < img.mean() < 0.6
+
+
+def test_driver_with_mesh_matches_local_statistically(setup):
+    """render_driver(mesh=...) — the unified distributed path — agrees
+    with the single-device driver in expectation, and populates stats."""
+    from pathtracer_tpu.driver import render_driver
+
+    cfg, sc, arrays, meta = setup
+    big = cfg.replace(samples=64, samples_per_pass=8)
+    mesh = make_mesh()
+    img_dist, stats = render_driver(arrays, meta, sc.camera, big,
+                                    mesh=mesh)
+    img_local, _ = render_driver(arrays, meta, sc.camera, big)
+    assert img_dist.shape == (24, 32, 3)
+    assert stats.backend == "wavefront@4x2"
+    assert stats.samples == 32 * 24 * 64
+    assert stats.segments >= 1
+    assert abs(img_dist.mean() - img_local.mean()) < 0.03
+    assert np.abs(img_dist - img_local).mean() < 0.15
+    # the unified driver path IS render_sharded's estimator, bit-exactly
+    # (same RNG stream layout) — plus checkpoints/recovery/stats on top
+    img_sharded = render_sharded(arrays, meta, sc.camera, big, mesh)
+    np.testing.assert_array_equal(img_dist, img_sharded)
+
+
+def test_driver_with_mesh_checkpoint_resume(tmp_path, setup, monkeypatch):
+    """Checkpoint/resume is bit-identical under distribution (VERDICT
+    round-1: the distributed path used to forfeit the driver entirely)."""
+    from pathtracer_tpu.driver import render_driver
+
+    cfg, sc, arrays, meta = setup
+    cfg = cfg.replace(samples=32)          # 4 chunks of 8 spp
+    mesh = make_mesh()
+    ck = str(tmp_path / "ck.npz")
+
+    img_full, _ = render_driver(arrays, meta, sc.camera, cfg, mesh=mesh,
+                                checkpoint_path=None, checkpoint_every=2)
+
+    # interrupted run: fault injection exhausts retries at chunk 2, AFTER
+    # the first 2-chunk segment checkpointed
+    monkeypatch.setenv("PT_FAULT_INJECT", "2")
+    monkeypatch.setenv("PT_FAULT_COUNT", "99")
+    monkeypatch.setenv("PT_MAX_RETRIES", "0")
+    with pytest.raises(Exception):
+        render_driver(arrays, meta, sc.camera, cfg, mesh=mesh,
+                      checkpoint_path=ck, checkpoint_every=2)
+    monkeypatch.delenv("PT_FAULT_INJECT")
+    monkeypatch.delenv("PT_FAULT_COUNT")
+    monkeypatch.delenv("PT_MAX_RETRIES")
+
+    img_resumed, stats = render_driver(
+        arrays, meta, sc.camera, cfg, mesh=mesh,
+        checkpoint_path=ck, checkpoint_every=2, resume=True)
+    # resume picked up mid-render, not from scratch
+    assert stats.samples < 32 * 24 * 32
+    np.testing.assert_array_equal(img_full, img_resumed)
+
+
+def test_driver_with_mesh_recovers_from_fault(setup, monkeypatch):
+    from pathtracer_tpu.driver import render_driver
+
+    cfg, sc, arrays, meta = setup
+    mesh = make_mesh()
+    img_ok, _ = render_driver(arrays, meta, sc.camera, cfg, mesh=mesh)
+    monkeypatch.setenv("PT_FAULT_INJECT", "1")
+    img_rec, stats = render_driver(arrays, meta, sc.camera, cfg,
+                                   mesh=mesh)
+    assert stats.recoveries == 1
+    np.testing.assert_array_equal(img_ok, img_rec)

@@ -105,3 +105,14 @@ def test_checkpoint_config_mismatch_rejected(tmp_path, small_segments):
     with pytest.raises(ValueError, match="seed"):
         render_driver(arrays, meta, sc.camera, other,
                       checkpoint_path=ck, checkpoint_every=1, resume=True)
+
+
+def test_forced_pallas_on_unsupported_scene_raises():
+    """--backend pallas on a textured scene must fail loudly, not silently
+    render untextured (the SMEM object table carries no textures)."""
+    cfg = RenderConfig(width=16, height=12, samples=2, samples_per_pass=2,
+                      backend="pallas")
+    sc = get_scene("textures", cfg)
+    arrays, meta = sc.pack()
+    with pytest.raises(ValueError, match="not supported by the megakernel"):
+        render_driver(arrays, meta, sc.camera, cfg)

@@ -112,3 +112,105 @@ def test_megakernel_deterministic_per_seed(small_cfg):
                       tile=(8, 128))
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+@_tpu
+def test_dof_sample_base_threads_into_sunflower(small_cfg):
+    """Segmented/sharded DoF launches must continue the sunflower lens
+    spiral at their global sample offset: with aperture != 0, the same
+    seed with a different sample base must sample different lens points
+    (regression: every segment used to re-sample indices 0..spp-1)."""
+    import jax.numpy as jnp
+
+    from pathtracer_tpu.render import pallas_kernel as pk
+
+    cfg = small_cfg.replace(aperture=0.1, focal_length=1.6, samples=8)
+    sc = get_scene("reference", cfg)
+    arrays, meta = sc.pack()
+    S, L = 8, 128
+    W, H = cfg.width, cfg.height
+    n_pix = W * H
+    pad = (-n_pix) % (S * L)
+    ids = np.arange(n_pix + pad)
+    px = jnp.asarray((ids % W).astype(np.int32).reshape(-1, L))
+    py = jnp.asarray(
+        np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
+
+    def run(base):
+        r, g, b = pk.trace_tiles(
+            jnp.asarray([7, base], jnp.int32), cam_vec, obj, nodes, tris,
+            px, py, meta=meta, cfg=cfg, spp=4, total_samples=cfg.samples,
+            tile=(S, L))
+        return np.asarray(r)
+
+    r0 = run(0)
+    r0b = run(0)
+    r4 = run(4)
+    np.testing.assert_array_equal(r0, r0b)   # deterministic
+    assert not np.array_equal(r0, r4)        # base reaches the lens spiral
+
+
+@_tpu
+def test_dof_segmented_driver_matches_single_launch_mean(small_cfg):
+    """A driver-style segmented DoF render (2 x 32 spp with sample bases
+    0/32) estimates the same image as one 64-spp launch."""
+    from pathtracer_tpu.driver import render_driver
+
+    cfg = small_cfg.replace(aperture=0.08, focal_length=1.6,
+                            backend="pallas")
+    sc = get_scene("reference", cfg)
+    arrays, meta = sc.pack()
+    img_single = render_pallas(arrays, meta, sc.camera, cfg)
+    import os
+    os.environ["PT_SEG_SPP"] = "32"
+    try:
+        cfg_seg = cfg.replace(samples_per_pass=32)
+        img_seg, _ = render_driver(arrays, meta, sc.camera, cfg_seg)
+    finally:
+        del os.environ["PT_SEG_SPP"]
+    assert abs(img_single.mean() - img_seg.mean()) < 0.03
+    assert np.abs(img_single - img_seg).mean() < 0.15
+
+
+def test_tile_pixel_layout_roundtrip():
+    """Block and linear tilings must cover every pixel exactly once
+    (padding slots marked -1) and untile back to image order."""
+    from pathtracer_tpu.render.pallas_kernel import (tile_pixel_layout,
+                                                     untile_image)
+
+    for order in ("block", "linear"):
+        for (W, H, S, L) in [(33, 25, 8, 128), (64, 48, 8, 512),
+                             (1280, 960, 8, 512), (17, 3, 8, 128)]:
+            px, py, pid = tile_pixel_layout(W, H, S, L, order=order)
+            assert px.shape == py.shape and px.shape[0] % S == 0
+            assert pid.shape[0] == px.size
+            valid = pid >= 0
+            # each pixel exactly once
+            assert np.array_equal(np.sort(pid[valid]), np.arange(W * H))
+            # px/py consistent with pid on valid slots
+            np.testing.assert_array_equal(
+                px.ravel()[valid], pid[valid] % W)
+            np.testing.assert_array_equal(
+                py.ravel()[valid], pid[valid] // W)
+            # padding slots carry in-range coordinates
+            assert px.min() >= 0 and px.max() < W
+            assert py.min() >= 0 and py.max() < H
+            # roundtrip
+            flat = np.zeros((pid.shape[0], 3), np.float32)
+            flat[valid] = np.stack(
+                [pid[valid], pid[valid] * 2, pid[valid] * 3],
+                axis=-1).astype(np.float32)
+            img = untile_image(flat, pid, W, H)
+            exp = np.arange(W * H, dtype=np.float32)
+            np.testing.assert_array_equal(img[:, 0], exp)
+            np.testing.assert_array_equal(img[:, 2], exp * 3)
+
+
+def test_tile_pixel_layout_shard_granule():
+    from pathtracer_tpu.render.pallas_kernel import tile_pixel_layout
+
+    px, py, pid = tile_pixel_layout(40, 30, 8, 128, shard_granule=4,
+                                    order="block")
+    assert px.shape[0] % (8 * 4) == 0

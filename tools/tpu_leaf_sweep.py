@@ -36,18 +36,15 @@ for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
         arrays, meta = pack_scene(sc.objects, leaf_size=leaf)
         nn = int(np.asarray(arrays.node_bb_min).shape[0])
         S, L = pk.default_tile(meta)
-        n_pix = W * H
-        pad = (-n_pix) % (S * L)
-        ids = np.arange(n_pix + pad)
-        px = jnp.asarray((ids % W).astype(np.int32).reshape(-1, L))
-        py = jnp.asarray(
-            np.minimum(ids // W, H - 1).astype(np.int32).reshape(-1, L))
+        xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L)
+        px = jnp.asarray(xs)
+        py = jnp.asarray(ys)
         cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
         obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
 
         def run(seed):
             r, _, _ = pk.trace_tiles(
-                jnp.asarray([seed], jnp.int32), cam_vec, obj, nodes,
+                jnp.asarray([seed, 0], jnp.int32), cam_vec, obj, nodes,
                 tris, px, py, meta=meta, cfg=cfg, spp=SPP,
                 total_samples=cfg.samples, tile=(S, L))
             return float(r.mean())
