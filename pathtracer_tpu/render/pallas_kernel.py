@@ -125,8 +125,13 @@ def build_mesh_tables(scn: SceneArrays, meta: SceneMeta
     rows = (ns + _TRI_SLOTS_PER_ROW - 1) // _TRI_SLOTS_PER_ROW
     tris = np.zeros((rows, _TRI_SLOTS_PER_ROW * _TRI_STRIDE),
                     dtype=np.float32)
-    fields = [scn.tri_p1, scn.tri_e1, scn.tri_e2,
-              scn.tri_n1, scn.tri_n2, scn.tri_n3, scn.tri_color]
+    # slots 12-17 hold the normal DELTAS (n2-n1, n3-n1): the kernel's
+    # smooth-normal interpolation becomes n1 + u*d21 + v*d31 (2 FMAs per
+    # component instead of the 3-term barycentric form)
+    fields = [scn.tri_p1, scn.tri_e1, scn.tri_e2, scn.tri_n1,
+              np.asarray(scn.tri_n2) - np.asarray(scn.tri_n1),
+              np.asarray(scn.tri_n3) - np.asarray(scn.tri_n1),
+              scn.tri_color]
     flat = np.concatenate([np.asarray(f, dtype=np.float32)
                            for f in fields], axis=1)  # [Ns, 21]
     for s in range(ns):
@@ -373,9 +378,26 @@ def _refract(cx, cy, cz, nx, ny, nz, n1, n2):
     )
 
 
+def _group_octant_base(meta: SceneMeta, pre, tdx, tdy, tdz):
+    """Node-table offset selecting the front-to-back DFS copy for this
+    packet's majority direction octant (scene/bvh.octant_node_orders).
+    Returns None when the scene has no octant copies. Four cheap
+    reductions + scalar ops per group traversal."""
+    if not meta.octant_orders:
+        return None
+    act = pre.astype(jnp.float32)
+    half = jnp.sum(act) * 0.5
+    bx = jnp.sum(act * (tdx < 0.0).astype(jnp.float32)) > half
+    by = jnp.sum(act * (tdy < 0.0).astype(jnp.float32)) > half
+    bz = jnp.sum(act * (tdz < 0.0).astype(jnp.float32)) > half
+    oct = (bx.astype(jnp.int32) + 2 * by.astype(jnp.int32)
+           + 4 * bz.astype(jnp.int32))
+    return (1 + oct) * jnp.int32(meta.n_nodes)
+
+
 def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
                      root, end, tox, toy, toz, tdx, tdy, tdz,
-                     active, bt0):
+                     active, bt0, oct_base=None):
     """Packet skip-link BVH walk: ONE scalar node pointer for the whole
     ray tile (classic packet tracing on the TPU's scalar-core + VPU
     split), replacing both the reference's per-work-item stack
@@ -391,7 +413,12 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
     shape = tox.shape
     zero = jnp.zeros(shape, jnp.float32)
     any_pre = jnp.any(active)
-    init = (jnp.where(any_pre, jnp.int32(root), jnp.int32(end)),
+    root_e = jnp.int32(root)
+    end_e = jnp.int32(end)
+    if oct_base is not None:
+        root_e = root_e + oct_base
+        end_e = end_e + oct_base
+    init = (jnp.where(any_pre, root_e, end_e),
             bt0, zero, zero, zero, zero, zero, zero)
 
     # hoist the slab-test divisions out of the walk: 1/d computed once
@@ -405,7 +432,7 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
     inv_dz = jnp.where(ok_z, 1.0 / jnp.where(ok_z, tdz, 1.0), _BIG)
 
     def tcond(st):
-        return st[0] < end
+        return st[0] < end_e
 
     def tbody(st):
         idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
@@ -429,6 +456,13 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
         exitn = node[0, 8].astype(jnp.int32)
 
         def leaf_fn(carry):
+            import os as _os
+
+            if _os.environ.get("PT_ABLATE_LEAF") == "1":
+                # diagnostic ablation: traversal structure intact,
+                # triangle tests removed (renders WRONG; cost attribution
+                # only — see docs/PERFORMANCE.md mesh cost model)
+                return carry
             bt, gnx, gny, gnz, gcr, gcg, gcb = carry
             r0 = jax.lax.div(start, jnp.int32(_TRI_SLOTS_PER_ROW))
             block = tri_ref[pl.ds(r0, leaf_rows), :]
@@ -458,21 +492,22 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
                     ocz = px_ * e1y - py_ * e1x
                     v = f * (tdx * ocx + tdy * ocy + tdz * ocz)
                     t = f * (e2x * ocx + e2y * ocy + e2z * ocz)
+                    # u <= 1 is implied by v >= 0 & u + v <= 1
                     better = (
                         hitb & det_ok
-                        & (u >= 0.0) & (u <= 1.0)
+                        & (u >= 0.0)
                         & (v >= 0.0) & (u + v <= 1.0)
                         & (t > eps) & (t < t_max) & (t < bt)
                     )
                     # smooth normal n2*u + n3*v + n1*(1-u-v)
-                    # (tracer.cl:669) folded into the select
-                    w1 = 1.0 - u - v
-                    cnx = (block[r, c + 12] * u + block[r, c + 15] * v
-                           + block[r, c + 9] * w1)
-                    cny = (block[r, c + 13] * u + block[r, c + 16] * v
-                           + block[r, c + 10] * w1)
-                    cnz = (block[r, c + 14] * u + block[r, c + 17] * v
-                           + block[r, c + 11] * w1)
+                    # (tracer.cl:669) = n1 + u*(n2-n1) + v*(n3-n1);
+                    # slots 12-17 store the deltas -> 2 FMAs/component
+                    cnx = (block[r, c + 9] + block[r, c + 12] * u
+                           + block[r, c + 15] * v)
+                    cny = (block[r, c + 10] + block[r, c + 13] * u
+                           + block[r, c + 16] * v)
+                    cnz = (block[r, c + 11] + block[r, c + 14] * u
+                           + block[r, c + 17] * v)
                     bt = jnp.where(better, t, bt)
                     gnx = jnp.where(better, cnx, gnx)
                     gny = jnp.where(better, cny, gny)
@@ -534,9 +569,11 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 
         def traverse_packet(root, end, tox, toy, toz, tdx, tdy, tdz,
                             active, bt0):
+            oct_base = _group_octant_base(meta, active, tdx, tdy, tdz)
             return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
                                     t_max, root, end, tox, toy, toz,
-                                    tdx, tdy, tdz, active, bt0)
+                                    tdx, tdy, tdz, active, bt0,
+                                    oct_base=oct_base)
 
         def sample_body(n, acc):
             acc_r, acc_g, acc_b = acc
@@ -997,9 +1034,11 @@ def _make_intersect_kernel(meta: SceneMeta, cfg: RenderConfig,
 
         def traverse(root, end, tox, toy, toz, tdx, tdy, tdz, active,
                      bt0):
+            oct_base = _group_octant_base(meta, active, tdx, tdy, tdz)
             return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
                                     t_max, root, end, tox, toy, toz,
-                                    tdx, tdy, tdz, active, bt0)
+                                    tdx, tdy, tdz, active, bt0,
+                                    oct_base=oct_base)
 
         best_t = jnp.full(shape, _BIG, jnp.float32)
         w_idx = jnp.zeros(shape, jnp.int32)
@@ -1141,9 +1180,11 @@ def scene_tables_jnp(scn: SceneArrays, meta: SceneMeta):
         jnp.zeros((nn, _NODE_COLS - 9), jnp.float32),
     ], axis=1)
     ns = scn.tri_p1.shape[0]
+    # normal deltas in slots 12-17 (see build_mesh_tables)
     flat = jnp.concatenate([
-        f(scn.tri_p1), f(scn.tri_e1), f(scn.tri_e2),
-        f(scn.tri_n1), f(scn.tri_n2), f(scn.tri_n3), f(scn.tri_color),
+        f(scn.tri_p1), f(scn.tri_e1), f(scn.tri_e2), f(scn.tri_n1),
+        f(scn.tri_n2) - f(scn.tri_n1), f(scn.tri_n3) - f(scn.tri_n1),
+        f(scn.tri_color),
     ], axis=1)                                            # [Ns, 21]
     flat = jnp.pad(flat, ((0, (-ns) % _TRI_SLOTS_PER_ROW),
                           (0, _TRI_STRIDE - 21)))         # [Ns_pad, 24]

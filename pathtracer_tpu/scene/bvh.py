@@ -334,6 +334,103 @@ def build_bvh(
                             leaf_size=leaf_size, into=into)
 
 
+def octant_node_orders(pool: FlatBVH, segments) -> FlatBVH:
+    """Append 8 octant-ordered copies of the node pool (near-child-first
+    DFS per ray-direction octant).
+
+    The packet walk (render/pallas_kernel._packet_traverse) visits nodes
+    in the FIXED skip-link order; its best-t pruning (`tmin < bt`) only
+    skips leaves behind hits it has already found. Visiting the NEAR
+    child first for the packet's majority direction octant finds hits
+    earlier, so far leaves prune for every ray that already hit — the
+    packet-tracing equivalent of ordered traversal with a stack (the
+    reference's stack walk, tracer.cl:624-718, has the same fixed-order
+    limitation).
+
+    Returns a FlatBVH whose node arrays are [9*Nn]: copy 0 is the
+    ORIGINAL DFS order (used by the wavefront per-ray walk and any
+    consumer indexing roots directly — bit-compatible), copies 1..8 are
+    octants 0..7 (octant bit a set = majority ray direction negative
+    along axis a). Roots/exits within copy k live at [k*Nn, (k+1)*Nn).
+    `segments` is the group (root, end) list — each group's subtree is
+    reordered independently.
+    """
+    nn = pool.n_nodes
+    bmin = pool.node_bb_min
+    bmax = pool.node_bb_max
+    start = pool.node_tri_start
+    leaf = pool.node_is_leaf
+    exit_ = pool.node_exit
+
+    copies_min = [bmin]
+    copies_max = [bmax]
+    copies_start = [start]
+    copies_leaf = [leaf]
+    copies_exit = [exit_]
+    cent = (bmin + bmax) * 0.5
+
+    import sys
+
+    limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(limit, 10000))
+    try:
+        for o in range(8):
+            o_min = np.empty_like(bmin)
+            o_max = np.empty_like(bmax)
+            o_start = np.empty_like(start)
+            o_leaf = np.empty_like(leaf)
+            o_exit = np.empty_like(exit_)
+            pos = 0
+
+            for (root, end) in segments:
+                base = root  # segment-local layout preserved per copy
+
+                def emit(i):
+                    nonlocal pos
+                    my = pos
+                    pos += 1
+                    o_min[my] = bmin[i]
+                    o_max[my] = bmax[i]
+                    o_start[my] = start[i]
+                    o_leaf[my] = leaf[i]
+                    if not leaf[i]:
+                        a = i + 1
+                        b = int(exit_[a])
+                        axis = int(np.argmax(np.abs(cent[b] - cent[a])))
+                        far_is_b = cent[b][axis] >= cent[a][axis]
+                        if (o >> axis) & 1:       # majority dir negative
+                            far_is_b = not far_is_b
+                        near, far = (a, b) if far_is_b else (b, a)
+                        emit(near)
+                        emit(far)
+                    o_exit[my] = pos
+
+                assert pos == base, (pos, base)
+                emit(root)
+                assert pos == end, (pos, end)
+
+            copies_min.append(o_min)
+            copies_max.append(o_max)
+            copies_start.append(o_start)
+            copies_leaf.append(o_leaf)
+            copies_exit.append(o_exit + np.int32(0))
+    finally:
+        sys.setrecursionlimit(limit)
+
+    # rebase exits of copy k by k*nn
+    all_exit = [copies_exit[0]] + [
+        (copies_exit[k] + k * nn).astype(np.int32) for k in range(1, 9)
+    ]
+    return dataclasses.replace(
+        pool,
+        node_bb_min=np.concatenate(copies_min),
+        node_bb_max=np.concatenate(copies_max),
+        node_tri_start=np.concatenate(copies_start).astype(np.int32),
+        node_is_leaf=np.concatenate(copies_leaf).astype(np.int32),
+        node_exit=np.concatenate(all_exit).astype(np.int32),
+    )
+
+
 def _merge(into: FlatBVH, new: FlatBVH) -> FlatBVH:
     merged = FlatBVH(
         node_bb_min=np.concatenate([into.node_bb_min, new.node_bb_min]),

@@ -9,12 +9,14 @@ buffers with fully static shapes, replicated on every chip.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
-from .bvh import FlatBVH, build_bvh, build_bvh_arrays, empty_bvh
+from .bvh import (FlatBVH, build_bvh, build_bvh_arrays, empty_bvh,
+                  octant_node_orders)
 from .shapes import BOX, PLANE, SPHERE, Cylinder, Group, Shape, Triangle
 
 NONE_TYPE = -1
@@ -114,6 +116,10 @@ class SceneMeta:
     # object slots that are emissive at pack time (emission.x > 0, the
     # reference's light test, tracer.cl:788) — drives the static NEE unroll
     light_indices: Tuple[int, ...] = ()
+    # node arrays hold 9 copies (original + 8 octant front-to-back DFS
+    # orders, bvh.octant_node_orders); the megakernel picks the copy by
+    # the packet's majority direction octant
+    octant_orders: bool = False
 
     @property
     def has_groups(self) -> bool:
@@ -296,6 +302,16 @@ def pack_scene(
     else:
         dummy = False
 
+    # octant-ordered node copies for the megakernel's front-to-back
+    # packet pruning (PT_OCTANT=0 disables; copy 0 stays the original
+    # order, so the wavefront per-ray walk is bit-unchanged)
+    n_pool_nodes = pool.n_nodes
+    octant = (not dummy and group_bvh
+              and os.environ.get("PT_OCTANT", "1") != "0")
+    if octant:
+        pool = octant_node_orders(
+            pool, [(r, e) for (_, r, e) in group_bvh])
+
     # convert dtypes in numpy BEFORE jnp.asarray: a jnp-side cast traces
     # + compiles a convert_element_type program per unique shape (~3s of
     # pure overhead for a mesh scene); a matching-dtype numpy array is a
@@ -390,7 +406,8 @@ def pack_scene(
         obj_types=tuple(int(t) for t in obj_type[:n]),
         group_indices=tuple(group_indices),
         group_bvh=tuple(group_bvh),
-        n_nodes=int(pool.n_nodes) if not dummy else 0,
+        n_nodes=int(n_pool_nodes) if not dummy else 0,
+        octant_orders=bool(octant),
         n_tri_slots=int(pool.n_tri_slots),
         leaf_size=leaf_size,
         textured_types=tuple(textured_types),

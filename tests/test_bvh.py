@@ -149,3 +149,61 @@ def test_build_bvh_snapped_minimum_leaves():
         assert bvh.n_nodes == 2 * n_leaves - 1
         # slot pool is exactly leaves * leaf_size
         assert bvh.n_tri_slots == n_leaves * leaf
+
+
+def test_octant_node_orders_equivalent():
+    """Each octant copy must be a valid skip-link tree over the same
+    leaves, and traversal must find identical nearest hits."""
+    import numpy as np
+
+    from pathtracer_tpu.scene.bvh import (build_bvh_arrays,
+                                          octant_node_orders)
+
+    rng = np.random.default_rng(3)
+    n = 200
+    p1 = rng.normal(size=(n, 3))
+    p2 = p1 + rng.normal(scale=0.2, size=(n, 3))
+    p3 = p1 + rng.normal(scale=0.2, size=(n, 3))
+    nrm = np.zeros((n, 3))
+    col = np.ones((n, 3))
+    pool, root, end = build_bvh_arrays(p1, p2, p3, nrm, nrm, nrm, col,
+                                       leaf_size=8)
+    nn = pool.n_nodes
+    pool9 = octant_node_orders(pool, [(root, end)])
+    assert pool9.node_bb_min.shape[0] == 9 * nn
+    # copy 0 is the original
+    np.testing.assert_array_equal(pool9.node_exit[:nn], pool.node_exit)
+    np.testing.assert_array_equal(pool9.node_bb_min[:nn],
+                                  pool.node_bb_min)
+
+    def walk(o, d, base):
+        """Skip-link walk collecting candidate leaf tri_starts in visit
+        order; returns the nearest brute-force hit among visited leaves
+        (must equal the global brute-force nearest for ANY valid tree)."""
+        bmin = pool9.node_bb_min
+        bmax = pool9.node_bb_max
+        leaf = pool9.node_is_leaf
+        ex = pool9.node_exit
+        st = pool9.node_tri_start
+        idx = base + root
+        stop = base + end
+        starts = []
+        while idx < stop:
+            inv = 1.0 / np.where(np.abs(d) > 1e-12, d, 1e-12)
+            t1 = (bmin[idx] - o) * inv
+            t2 = (bmax[idx] - o) * inv
+            tmin = np.minimum(t1, t2).max()
+            tmax = np.maximum(t1, t2).min()
+            hit = tmin <= tmax and tmax > 1e-4
+            if hit and leaf[idx]:
+                starts.append(int(st[idx]))
+            idx = idx + 1 if hit else int(ex[idx])
+        return sorted(starts)
+
+    for trial in range(8):
+        o = rng.normal(size=3) * 3
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        base_starts = walk(o, d, 0)
+        for k in range(1, 9):
+            assert walk(o, d, k * nn) == base_starts, (trial, k)
