@@ -69,9 +69,52 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
 
 
 def bench_diff(cfg, sc, arrays, meta, spp):
-    """fwd+bwd (differentiable render + gradient) throughput — the
+    """fwd+bwd (differentiable render + gradient step) throughput — the
     north-star 'fwd+bwd per chip' dimension; the reference has no
-    gradients at all."""
+    gradients at all. Uses the fused differentiable MEGAKERNEL
+    (render/pallas_grad.py) when the scene supports it and a TPU is
+    present; BENCH_DIFF_BACKEND=wavefront forces the XLA AD path."""
+    import jax
+
+    from pathtracer_tpu.render import pallas_kernel as pk
+
+    use_mk = (
+        os.environ.get("BENCH_DIFF_BACKEND", "auto") != "wavefront"
+        and jax.devices()[0].platform == "tpu"
+        and pk.supports_scene(meta)
+    )
+    if use_mk:
+        return bench_diff_megakernel(cfg, sc, arrays, meta, spp)
+    return bench_diff_wavefront(cfg, sc, arrays, meta, spp)
+
+
+def bench_diff_megakernel(cfg, sc, arrays, meta, spp):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracer_tpu.diff.grad import make_megakernel_step
+
+    W, H = cfg.width, cfg.height
+    step_spp = max(1, min(spp, 32))
+    step, target_of = make_megakernel_step(
+        arrays, meta, cfg, sc.camera, spp=step_spp)
+    target = target_of(np.zeros((H, W, 3), np.float32))
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+
+    c, e, loss = step(color, emission, jnp.asarray([1, 0], jnp.int32),
+                      target)
+    float(loss)  # true materialization (async tunnel compile)
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        c, e, loss = step(c, e, jnp.asarray([i + 2, 0], jnp.int32),
+                          target)
+    float(loss)
+    return W * H * step_spp * n, time.perf_counter() - t0
+
+
+def bench_diff_wavefront(cfg, sc, arrays, meta, spp):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -131,6 +174,55 @@ def bench_wavefront(cfg, sc, arrays, meta, spp):
     return W * H * n_chunks * spp_chunk, best
 
 
+def _measure(fn, cfg, sc, arrays, meta, spp):
+    try:
+        samples, dt = fn(cfg, sc, arrays, meta, spp)
+    except Exception:
+        # the remote-TPU tunnel stays wedged for a couple of minutes after
+        # any crash (including one from a PREVIOUS process); one patient
+        # retry distinguishes a wedged device from a real failure
+        time.sleep(150)
+        samples, dt = fn(cfg, sc, arrays, meta, spp)
+    return samples / dt / 1e6
+
+
+def _extra_records(width, height):
+    """Secondary metrics for the round record (VERDICT r1 #8): mesh-scene
+    forward rates and the fwd+bwd differentiable rate, attached to the
+    headline JSON line under "extra". TPU-only; each is individually
+    fault-isolated. BENCH_EXTRA=0 skips."""
+    import jax
+
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.scenes import get_scene
+
+    if os.environ.get("BENCH_EXTRA", "1") == "0":
+        return {}
+    if jax.devices()[0].platform != "tpu":
+        return {}
+    out = {}
+    for scene, fn, spp in (("teapot", bench_pallas, 8),
+                           ("gopher", bench_pallas, 8),
+                           ("textures", bench_wavefront, 2),
+                           ("reference", bench_diff, 32)):
+        tag = ("fwd_bwd_reference" if fn is bench_diff
+               else f"fwd_{scene}")
+        try:
+            cfg = RenderConfig(width=width, height=height, samples=2048,
+                               samples_per_pass=8)
+            sc = get_scene(scene, cfg)
+            arrays, meta = sc.pack()
+            msps = _measure(fn, cfg, sc, arrays, meta, spp)
+            rec = {"Msamples_per_sec": round(msps, 3)}
+            if scene in SCENE_BASELINES and fn is bench_pallas:
+                rec["vs_baseline"] = round(
+                    msps / SCENE_BASELINES[scene], 4)
+            out[tag] = rec
+        except Exception as e:  # noqa: BLE001 — record the miss, move on
+            out[tag] = {"error": f"{type(e).__name__}"[:60]}
+    return out
+
+
 def main():
     from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.scenes import get_scene
@@ -151,23 +243,19 @@ def main():
 
     fn = {"pallas": bench_pallas, "wavefront": bench_wavefront,
           "diff": bench_diff}[backend]
-    try:
-        samples, dt = fn(cfg, sc, arrays, meta, spp)
-    except Exception:
-        # the remote-TPU tunnel stays wedged for a couple of minutes after
-        # any crash (including one from a PREVIOUS process); one patient
-        # retry distinguishes a wedged device from a real failure
-        time.sleep(150)
-        samples, dt = fn(cfg, sc, arrays, meta, spp)
+    msps = _measure(fn, cfg, sc, arrays, meta, spp)
 
-    msps = samples / dt / 1e6
-    print(json.dumps({
+    rec = {
         "metric": f"{scene}_{width}x{height}_Msamples_per_sec",
         "value": round(msps, 3),
         "unit": "Msamples/s",
         "vs_baseline": round(
             msps / SCENE_BASELINES.get(scene, BASELINE_MSPS), 4),
-    }))
+    }
+    extra = _extra_records(width, height)
+    if extra:
+        rec["extra"] = extra
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

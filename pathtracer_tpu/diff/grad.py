@@ -103,6 +103,66 @@ def train_step(params, scn, meta, cfg, cam, px, py, key, n_samples,
     return new_params, loss
 
 
+def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
+                         lr=0.05):
+    """SGD step on (color, emission) through the DIFFERENTIABLE MEGAKERNEL
+    (render/pallas_grad.py): forward = the production Pallas megakernel,
+    backward = one fused replay+tape+accumulate kernel launch. ~50x the
+    wavefront AD path's throughput; covers the non-texture SceneParams
+    (object color + emission — texture/tri-color training stays on the
+    wavefront path).
+
+    Returns (step, target_of) where step(color, emission, seed_i32,
+    target_rgb) -> (new_color, new_emission, loss) is jitted, and
+    target_of(img [H, W, 3]) maps an image into the step's tiled target
+    layout.
+    """
+    from ..render import pallas_kernel as pk
+    from ..render.pallas_grad import make_diff_render
+
+    W, H = camera.width, camera.height
+    S, L = tile
+    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L)
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(camera))
+    obj, nodes, tris = pk.scene_tables_jnp(scn, meta)
+    render = make_diff_render(meta, cfg, spp, cfg.samples, tile)
+    valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
+    n_valid = float(valid.sum())
+    inv_spp = 1.0 / float(spp)
+
+    def target_of(img):
+        import numpy as np
+
+        flat = np.asarray(img, np.float32).reshape(-1, 3)
+        out = np.zeros((pid.shape[0], 3), np.float32)
+        sel = pid >= 0
+        out[sel] = flat[pid[sel]]
+        t = out.reshape(px.shape + (3,))
+        return (jnp.asarray(t[..., 0]), jnp.asarray(t[..., 1]),
+                jnp.asarray(t[..., 2]))
+
+    def loss_fn(color, emission, seed, tr, tg, tb):
+        r, g, b = render(color, emission, seed, cam_vec, obj, nodes,
+                         tris, px, py)
+        dr = (r * inv_spp - tr) * valid
+        dg = (g * inv_spp - tg) * valid
+        db = (b * inv_spp - tb) * valid
+        return (jnp.sum(dr * dr) + jnp.sum(dg * dg)
+                + jnp.sum(db * db)) / (3.0 * n_valid)
+
+    @jax.jit
+    def step(color, emission, seed, target):
+        tr, tg, tb = target
+        (loss, grads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            color, emission, seed, tr, tg, tb)
+        gc, ge = grads
+        return color - lr * gc, emission - lr * ge, loss
+
+    return step, target_of
+
+
 def make_sharded_train_step(
     mesh: Mesh,
     meta: SceneMeta,

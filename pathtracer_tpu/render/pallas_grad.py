@@ -1,0 +1,650 @@
+"""Differentiable Pallas megakernel: fused forward+backward path tracing.
+
+The wavefront AD path (diff/grad.py + integrator.py early_exit=False) pays
+XLA gathers and HBM residuals per bounce — ~50x slower than the forward
+megakernel. This module gives the megakernel a hand-written backward pass
+for the parameters that matter for inverse rendering (object color and
+emission, the trainable subset of SceneParams minus textures/tri colors,
+which stay on the wavefront path):
+
+- The estimator per sample is S = sum_b contrib_b * m_b * e_b with
+  m_{b+1} = m_b * c_b * cos_b on recorded diffuse bounces and a direct
+  light hit overwriting S with the light COLOR
+  (reference resolve loop, internal/ocl/tracer.cl:1116-1176). Both
+  c and e enter LINEARLY given the sampled trajectory, so the pathwise
+  gradient only needs the trajectory replayed — not differentiated.
+- The backward kernel REPLAYS the forward trajectory with the identical
+  on-core PRNG stream (same seed, same draw order as the forward
+  megakernel — determinism is the residual), records a compact per-bounce
+  tape (winning object, cos, color, emission, mask, flags) in VMEM
+  scratch, then runs the per-sample backward recurrence
+      T_b = contrib_{b+1} e_{b+1} + (upd_{b+1} ? c_{b+1} cos_{b+1} : 1) T_{b+1}
+      dS/dc_b = upd_b ? cos_b m_b T_b   (direct hit: dS/dc = 1, rest 0)
+      dS/de_b = contrib_b ? m_b
+  and scatters per-ray gradients into per-object VMEM accumulators
+  (static unroll over the <=16-object table — no gathers anywhere).
+- jax.custom_vjp glues it together: primal = the fast forward megakernel
+  (render/pallas_kernel.trace_tiles), backward = one grad kernel launch.
+
+Mesh (per-triangle) hits record winning object -1, so their color
+gradients are dropped (per-triangle color training uses the wavefront
+path); everything else about the trajectory (including the triangle color
+inside T) is exact.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..scene.pack import SceneMeta
+from ..scene.shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE
+from . import pallas_kernel as pk
+from .pallas_kernel import (_BIG, _axis_slab, _box_t, _cylinder_t, _dot,
+                            _mat12_point, _mat12_vec, _normalize,
+                            _packet_traverse, _plane_t, _refract, _schlick,
+                            _sphere_t, _uniform)
+
+
+def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
+                      total_samples: int, tile: Tuple[int, int]):
+    """Forward-replay + tape + backward-accumulate kernel body.
+
+    The forward section mirrors pallas_kernel._make_kernel's sample_body
+    EXACTLY (same PRNG draw order, same arithmetic) — any divergence
+    breaks the replay; tests/test_grad_pallas.py pins fwd parity.
+    """
+    obj_types = meta.obj_types
+    group_bvh = {g: (r, e) for g, r, e in meta.group_bvh}
+    leaf_rows = meta.leaf_size // pk._TRI_SLOTS_PER_ROW
+    eps = cfg.epsilon
+    t_max = cfg.t_max
+    max_b = cfg.max_bounces
+    max_eff = cfg.max_effective_bounces
+    golden2 = ((math.sqrt(5.0) + 1.0) / 2.0) ** 2
+    sun_n = float(total_samples)
+    sun_b = round(2.0 * math.sqrt(sun_n))
+    n_obj = meta.n_objects
+
+    def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, px_ref,
+               py_ref, cot_r_ref, cot_g_ref, cot_b_ref, gout_ref,
+               # scratch refs
+               t_win, t_cos, t_c, t_e, t_m, t_flags, g_acc):
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        sample_base = seed_ref[1]
+
+        fx = px_ref[...].astype(jnp.float32)
+        fy = py_ref[...].astype(jnp.float32)
+        shape = fx.shape
+
+        cam = [cam_ref[k] for k in range(12)]
+        pixel_size = cam_ref[12]
+        half_w = cam_ref[13]
+        half_h = cam_ref[14]
+        aperture = cam_ref[15]
+        focal = cam_ref[16]
+        has_dof = aperture != 0.0
+
+        cot_r = cot_r_ref[...]
+        cot_g = cot_g_ref[...]
+        cot_b = cot_b_ref[...]
+
+        g_acc[...] = jnp.zeros((n_obj * 6,) + shape, jnp.float32)
+
+        def traverse_packet(root, end, tox, toy, toz, tdx, tdy, tdz,
+                            active, bt0):
+            oct_base = pk._group_octant_base(meta, active, tdx, tdy, tdz)
+            return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
+                                    t_max, root, end, tox, toy, toz,
+                                    tdx, tdy, tdz, active, bt0,
+                                    oct_base=oct_base)
+
+        def sample_body(n, carry):
+            # --- rayForPixel: identical to the forward megakernel -------
+            jx = _uniform(shape)
+            jy = _uniform(shape)
+            x_off = pixel_size * (fx + jx)
+            y_off = pixel_size * (fy + jy)
+            vx = half_w - x_off
+            vy = half_h - y_off
+            vz = jnp.full(shape, -1.0, jnp.float32)
+            pxw, pyw, pzw = _mat12_point(cam, vx, vy, vz)
+            zero = jnp.zeros(shape, jnp.float32)
+            oxw, oyw, ozw = _mat12_point(cam, zero, zero, zero)
+            dx, dy, dz = _normalize(pxw - oxw, pyw - oyw, pzw - ozw)
+
+            nf = (n + sample_base).astype(jnp.float32)
+            r_sun = jnp.where(
+                nf <= (sun_n - sun_b),
+                jnp.sqrt(jnp.maximum(nf - 0.5, 0.0))
+                / math.sqrt(max(sun_n - (sun_b + 1.0) / 2.0, 1e-9)),
+                1.0,
+            )
+            theta = 2.0 * math.pi * nf / golden2
+            sun_x = r_sun * jnp.cos(theta)
+            sun_y = r_sun * jnp.sin(theta)
+            fpx = oxw + dx * focal
+            fpy = oyw + dy * focal
+            fpz = ozw + dz * focal
+            dox = oxw + sun_y * aperture
+            doy = oyw + sun_x * aperture
+            ox = jnp.where(has_dof, dox, oxw)
+            oy = jnp.where(has_dof, doy, oyw)
+            oz = ozw
+            dx = jnp.where(has_dof, fpx - dox, dx)
+            dy = jnp.where(has_dof, fpy - doy, dy)
+            dz = jnp.where(has_dof, fpz - oz, dz)
+
+            mask_r = jnp.ones(shape, jnp.float32)
+            mask_g = jnp.ones(shape, jnp.float32)
+            mask_b = jnp.ones(shape, jnp.float32)
+            alive_i = jnp.ones(shape, jnp.int32)
+            inside_i = jnp.zeros(shape, jnp.int32)
+            n_hits = jnp.zeros(shape, jnp.int32)
+            eff = jnp.zeros(shape, jnp.int32)
+
+            # stale tape flags from the previous sample must not leak
+            # into the backward pass (the bounce loop can exit early)
+            t_flags[...] = jnp.zeros((max_b,) + shape, jnp.float32)
+
+            def bounce_cond(st):
+                b = st[0]
+                alive_i = st[7]
+                return (b < max_b) & (jnp.max(alive_i) > 0)
+
+            def bounce_body(st):
+                (b, ox, oy, oz, dx, dy, dz, alive_i, inside_i, n_hits,
+                 eff, mask_r, mask_g, mask_b) = st
+                alive = alive_i > 0
+                inside = inside_i > 0
+
+                # ---- intersect: static unroll (forward-identical) -----
+                best_t = jnp.full(shape, _BIG, jnp.float32)
+                l_ox = ox; l_oy = oy; l_oz = oz
+                l_dx = dx; l_dy = dy; l_dz = dz
+                col_r = jnp.zeros(shape, jnp.float32)
+                col_g = jnp.zeros(shape, jnp.float32)
+                col_b = jnp.zeros(shape, jnp.float32)
+                emi_r = jnp.zeros(shape, jnp.float32)
+                refl = jnp.zeros(shape, jnp.float32)
+                refr = jnp.ones(shape, jnp.float32)
+                invt = [jnp.zeros(shape, jnp.float32)] * 12
+                w_type = jnp.full(shape, -1, jnp.int32)
+                w_min_y = jnp.zeros(shape, jnp.float32)
+                w_max_y = jnp.zeros(shape, jnp.float32)
+                emi_g = jnp.zeros(shape, jnp.float32)
+                emi_b = jnp.zeros(shape, jnp.float32)
+                is_tri_f = jnp.zeros(shape, jnp.float32)
+                tnx = jnp.zeros(shape, jnp.float32)
+                tny = jnp.zeros(shape, jnp.float32)
+                tnz = jnp.zeros(shape, jnp.float32)
+                win_f = jnp.full(shape, -1.0, jnp.float32)
+
+                for j, code in enumerate(obj_types):
+                    m = [obj_ref[j, k] for k in range(12)]
+                    tox, toy, toz = _mat12_point(m, ox, oy, oz)
+                    tdx, tdy, tdz = _mat12_vec(m, dx, dy, dz)
+                    g_tri = None
+                    if code == PLANE:
+                        t_j = _plane_t(toy, tdy, eps)
+                    elif code == SPHERE:
+                        t_j = _sphere_t(tox, toy, toz, tdx, tdy, tdz, eps)
+                    elif code == CYLINDER:
+                        t_j = _cylinder_t(tox, toy, toz, tdx, tdy, tdz,
+                                          obj_ref[j, 32], obj_ref[j, 33],
+                                          eps)
+                    elif code == BOX:
+                        t_j = _box_t(tox, toy, toz, tdx, tdy, tdz, eps)
+                    else:
+                        x1, x2 = _axis_slab(tox, tdx, obj_ref[j, 34],
+                                            obj_ref[j, 37], eps)
+                        y1, y2 = _axis_slab(toy, tdy, obj_ref[j, 35],
+                                            obj_ref[j, 38], eps)
+                        z1, z2 = _axis_slab(toz, tdz, obj_ref[j, 36],
+                                            obj_ref[j, 39], eps)
+                        gtmin = jnp.maximum(jnp.maximum(x1, y1), z1)
+                        gtmax = jnp.minimum(jnp.minimum(x2, y2), z2)
+                        pre = ((alive_i > 0) & (gtmin <= gtmax)
+                               & (gtmax > eps) & (gtmin < best_t))
+                        root, end = group_bvh[j]
+                        t_j, g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = \
+                            traverse_packet(root, end, tox, toy, toz,
+                                            tdx, tdy, tdz, pre, best_t)
+                        g_tri = (g_nx, g_ny, g_nz, g_cr, g_cg, g_cb)
+
+                    closer = t_j < best_t
+                    best_t = jnp.where(closer, t_j, best_t)
+                    l_ox = jnp.where(closer, tox, l_ox)
+                    l_oy = jnp.where(closer, toy, l_oy)
+                    l_oz = jnp.where(closer, toz, l_oz)
+                    l_dx = jnp.where(closer, tdx, l_dx)
+                    l_dy = jnp.where(closer, tdy, l_dy)
+                    l_dz = jnp.where(closer, tdz, l_dz)
+                    if g_tri is None:
+                        col_r = jnp.where(closer, obj_ref[j, 24], col_r)
+                        col_g = jnp.where(closer, obj_ref[j, 25], col_g)
+                        col_b = jnp.where(closer, obj_ref[j, 26], col_b)
+                        emi_r = jnp.where(closer, obj_ref[j, 27], emi_r)
+                        emi_g = jnp.where(closer, obj_ref[j, 28], emi_g)
+                        emi_b = jnp.where(closer, obj_ref[j, 29], emi_b)
+                        is_tri_f = jnp.where(closer, 0.0, is_tri_f)
+                        win_f = jnp.where(closer, float(j), win_f)
+                    else:
+                        g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = g_tri
+                        col_r = jnp.where(closer, g_cr, col_r)
+                        col_g = jnp.where(closer, g_cg, col_g)
+                        col_b = jnp.where(closer, g_cb, col_b)
+                        emi_r = jnp.where(closer, 0.0, emi_r)
+                        emi_g = jnp.where(closer, 0.0, emi_g)
+                        emi_b = jnp.where(closer, 0.0, emi_b)
+                        is_tri_f = jnp.where(closer, 1.0, is_tri_f)
+                        tnx = jnp.where(closer, g_nx, tnx)
+                        tny = jnp.where(closer, g_ny, tny)
+                        tnz = jnp.where(closer, g_nz, tnz)
+                        # -1: per-triangle colors train on the wavefront
+                        # path; drop their object-color gradient
+                        win_f = jnp.where(closer, -1.0, win_f)
+                    refr = jnp.where(closer, obj_ref[j, 30], refr)
+                    refl = jnp.where(closer, obj_ref[j, 31], refl)
+                    w_min_y = jnp.where(closer, obj_ref[j, 32], w_min_y)
+                    w_max_y = jnp.where(closer, obj_ref[j, 33], w_max_y)
+                    invt = [jnp.where(closer, obj_ref[j, 12 + k], invt[k])
+                            for k in range(12)]
+                    w_type = jnp.where(closer, code, w_type)
+
+                hit_ok = best_t < t_max
+                t = jnp.minimum(best_t, t_max)
+
+                # ---- surface normal (forward-identical) ---------------
+                lx = l_ox + l_dx * t
+                ly = l_oy + l_dy * t
+                lz = l_oz + l_dz * t
+                one = jnp.ones(shape, jnp.float32)
+                zero = jnp.zeros(shape, jnp.float32)
+                dist = lx * lx + lz * lz
+                top = (dist < 1.0) & (ly >= w_max_y - eps)
+                bot = (dist < 1.0) & (ly <= w_min_y + eps)
+                cyl_nx = jnp.where(top | bot, zero, lx)
+                cyl_ny = jnp.where(top, one, jnp.where(bot, -one, zero))
+                cyl_nz = jnp.where(top | bot, zero, lz)
+                ax = jnp.abs(lx); ay = jnp.abs(ly); az = jnp.abs(lz)
+                maxc = jnp.maximum(jnp.maximum(ax, ay), az)
+                sel_x = maxc == ax
+                sel_y = (~sel_x) & (maxc == ay)
+                box_nx = jnp.where(sel_x, lx, zero)
+                box_ny = jnp.where(sel_y, ly, zero)
+                box_nz = jnp.where(sel_x | sel_y, zero, lz)
+
+                is_plane = w_type == PLANE
+                is_cyl = w_type == CYLINDER
+                is_box = w_type == BOX
+                use_tri = is_tri_f > 0.5
+                nlx = jnp.where(use_tri, tnx,
+                      jnp.where(is_plane, zero,
+                      jnp.where(is_cyl, cyl_nx,
+                      jnp.where(is_box, box_nx, lx))))
+                nly = jnp.where(use_tri, tny,
+                      jnp.where(is_plane, one,
+                      jnp.where(is_cyl, cyl_ny,
+                      jnp.where(is_box, box_ny, ly))))
+                nlz = jnp.where(use_tri, tnz,
+                      jnp.where(is_plane, zero,
+                      jnp.where(is_cyl, cyl_nz,
+                      jnp.where(is_box, box_nz, lz))))
+                nx, ny, nz = _mat12_vec(invt, nlx, nly, nlz)
+                nx, ny, nz = _normalize(nx, ny, nz)
+                ex, ey, ez = -dx, -dy, -dz
+                flip = _dot(ex, ey, ez, nx, ny, nz) < 0.0
+                nx = jnp.where(flip, -nx, nx)
+                ny = jnp.where(flip, -ny, ny)
+                nz = jnp.where(flip, -nz, nz)
+
+                # ---- material roulette (forward-identical) ------------
+                u_refl = _uniform(shape)
+                u_schl = _uniform(shape)
+                u1 = _uniform(shape)
+                u2 = _uniform(shape)
+
+                wx = ox + dx * t
+                wy = oy + dy * t
+                wz = oz + dz * t
+                over_x = wx + nx * eps
+                over_y = wy + ny * eps
+                over_z = wz + nz * eps
+                under_x = wx - nx * eps
+                under_y = wy - ny * eps
+                under_z = wz - nz * eps
+
+                do_reflect = (refl != 0.0) & (u_refl < refl)
+                thin = (~do_reflect) & (refr == -1.0)
+                sch_thin = _schlick(ex, ey, ez, nx, ny, nz,
+                                    jnp.float32(1.0), jnp.float32(1.5))
+                thin_pass = thin & (sch_thin < u_schl)
+                thin_reflect = thin & ~(sch_thin < u_schl)
+
+                solid = (~do_reflect) & (~thin) & (refr != 1.0)
+                outside = ~inside
+                sch = jnp.where(
+                    outside,
+                    _schlick(ex, ey, ez, nx, ny, nz, jnp.float32(1.0),
+                             refr),
+                    _schlick(ex, ey, ez, nx, ny, nz, refr,
+                             jnp.float32(1.0)),
+                )
+                do_refract = solid & (sch < u_schl)
+                rf_o = _refract(ex, ey, ez, nx, ny, nz, jnp.float32(1.0),
+                                refr)
+                rf_i = _refract(ex, ey, ez, nx, ny, nz, refr,
+                                jnp.float32(1.0))
+                rfx = jnp.where(outside, rf_o[0], rf_i[0])
+                rfy = jnp.where(outside, rf_o[1], rf_i[1])
+                rfz = jnp.where(outside, rf_o[2], rf_i[2])
+                solid_reflect = solid & ~do_refract
+                diffuse = (~do_reflect) & (~thin) & (~solid)
+
+                rand1 = 2.0 * math.pi * u1
+                rand2s = jnp.sqrt(u2)
+                pick = jnp.abs(nx) > 0.1
+                axx = jnp.where(pick, zero, one)
+                axy = jnp.where(pick, one, zero)
+                ux = axy * nz
+                uy = -(axx * nz)
+                uz = axx * ny - axy * nx
+                ux, uy, uz = _normalize(ux, uy, uz)
+                vx2 = ny * uz - nz * uy
+                vy2 = nz * ux - nx * uz
+                vz2 = nx * uy - ny * ux
+                cu = jnp.cos(rand1) * rand2s
+                cv = jnp.sin(rand1) * rand2s
+                cn = jnp.sqrt(1.0 - u2)
+                hx = ux * cu + vx2 * cv + nx * cn
+                hy = uy * cu + vy2 * cv + ny * cn
+                hz = uz * cu + vz2 * cv + nz * cn
+
+                ddn = 2.0 * _dot(dx, dy, dz, nx, ny, nz)
+                rx = dx - nx * ddn
+                ry = dy - ny * ddn
+                rz = dz - nz * ddn
+
+                any_reflect = do_reflect | thin_reflect | solid_reflect
+                ndx = jnp.where(any_reflect, rx,
+                      jnp.where(thin_pass, dx,
+                      jnp.where(do_refract, rfx, hx)))
+                ndy = jnp.where(any_reflect, ry,
+                      jnp.where(thin_pass, dy,
+                      jnp.where(do_refract, rfy, hy)))
+                ndz = jnp.where(any_reflect, rz,
+                      jnp.where(thin_pass, dz,
+                      jnp.where(do_refract, rfz, hz)))
+                cos = jnp.where(diffuse,
+                                _dot(hx, hy, hz, nx, ny, nz), 1.0)
+                go_under = thin_pass | do_refract
+                nox = jnp.where(go_under, under_x, over_x)
+                noy = jnp.where(go_under, under_y, over_y)
+                noz = jnp.where(go_under, under_z, over_z)
+
+                entering = do_refract & outside
+                exiting = do_refract & inside
+                new_inside_i = jnp.where(
+                    do_refract, outside.astype(jnp.int32), inside_i)
+                is_refraction = entering | exiting
+
+                rec = alive & hit_ok
+                no_refr = rec & ~is_refraction
+                is_light = emi_r > 0.0
+                direct = no_refr & is_light & (n_hits == 0)
+                upd = no_refr & ~is_light
+
+                # ---- tape write (the whole point of this kernel) ------
+                # tape layout: rgb tapes are flat (3*max_b, S, L) with
+                # channel-major index 3*b + ch (mixed dynamic+static
+                # indexing on 4-D scratch is fragile in Mosaic)
+                bsl = pl.ds(b, 1)
+                b3 = b * 3
+                t_win[bsl] = jnp.where(rec, win_f, -1.0)[None]
+                t_cos[bsl] = cos[None]
+                t_c[pl.ds(b3, 1)] = col_r[None]
+                t_c[pl.ds(b3 + 1, 1)] = col_g[None]
+                t_c[pl.ds(b3 + 2, 1)] = col_b[None]
+                t_e[pl.ds(b3, 1)] = emi_r[None]
+                t_e[pl.ds(b3 + 1, 1)] = emi_g[None]
+                t_e[pl.ds(b3 + 2, 1)] = emi_b[None]
+                t_m[pl.ds(b3, 1)] = mask_r[None]
+                t_m[pl.ds(b3 + 1, 1)] = mask_g[None]
+                t_m[pl.ds(b3 + 2, 1)] = mask_b[None]
+                t_flags[bsl] = (
+                    no_refr.astype(jnp.float32)          # contrib: 1
+                    + upd.astype(jnp.float32) * 2.0      # mask upd: 2
+                    + direct.astype(jnp.float32) * 4.0   # direct:   4
+                )[None]
+
+                mask_r = jnp.where(upd, mask_r * col_r * cos, mask_r)
+                mask_g = jnp.where(upd, mask_g * col_g * cos, mask_g)
+                mask_b = jnp.where(upd, mask_b * col_b * cos, mask_b)
+
+                eff = eff + jnp.where(
+                    rec & ~is_refraction & ~any_reflect, 1, 0)
+                n_hits = n_hits + rec.astype(jnp.int32)
+                alive_i = (
+                    alive & hit_ok & ~(rec & is_light) & (eff < max_eff)
+                ).astype(jnp.int32)
+
+                ox = jnp.where(rec, nox, ox)
+                oy = jnp.where(rec, noy, oy)
+                oz = jnp.where(rec, noz, oz)
+                dx = jnp.where(rec, ndx, dx)
+                dy = jnp.where(rec, ndy, dy)
+                dz = jnp.where(rec, ndz, dz)
+                inside_i = jnp.where(rec, new_inside_i, inside_i)
+
+                return (b + 1, ox, oy, oz, dx, dy, dz, alive_i, inside_i,
+                        n_hits, eff, mask_r, mask_g, mask_b)
+
+            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz, alive_i,
+                  inside_i, n_hits, eff, mask_r, mask_g, mask_b)
+            jax.lax.while_loop(bounce_cond, bounce_body, st)
+
+            # ---- per-sample backward over the tape --------------------
+            # D: a direct light hit overwrote S -> only that color grad
+            flags = [t_flags[bb] for bb in range(max_b)]
+            direct_any = jnp.zeros(shape, jnp.bool_)
+            for bb in range(max_b):
+                direct_any = direct_any | (flags[bb] >= 4.0)
+
+            T_r = jnp.zeros(shape, jnp.float32)
+            T_g = jnp.zeros(shape, jnp.float32)
+            T_b = jnp.zeros(shape, jnp.float32)
+            for bb in reversed(range(max_b)):
+                # valid flag combos: 0, 1 (contrib only: light hit),
+                # 3 (contrib+upd: diffuse/reflect), 5 (contrib+direct)
+                f = flags[bb]
+                contrib = f >= 1.0
+                updf = f == 3.0
+                directf = f >= 4.0
+                cosb = t_cos[bb]
+                cr = t_c[3 * bb]; cg = t_c[3 * bb + 1]; cb = t_c[3 * bb + 2]
+                er = t_e[3 * bb]; eg = t_e[3 * bb + 1]; eb = t_e[3 * bb + 2]
+                mr = t_m[3 * bb]; mg = t_m[3 * bb + 1]; mb = t_m[3 * bb + 2]
+                win = t_win[bb]
+
+                zero = jnp.zeros(shape, jnp.float32)
+                g_cr = jnp.where(
+                    direct_any,
+                    jnp.where(directf, cot_r, zero),
+                    jnp.where(updf, cot_r * cosb * mr * T_r, zero))
+                g_cg = jnp.where(
+                    direct_any,
+                    jnp.where(directf, cot_g, zero),
+                    jnp.where(updf, cot_g * cosb * mg * T_g, zero))
+                g_cb = jnp.where(
+                    direct_any,
+                    jnp.where(directf, cot_b, zero),
+                    jnp.where(updf, cot_b * cosb * mb * T_b, zero))
+                no_d = ~direct_any & contrib
+                g_er = jnp.where(no_d, cot_r * mr, zero)
+                g_eg = jnp.where(no_d, cot_g * mg, zero)
+                g_eb = jnp.where(no_d, cot_b * mb, zero)
+
+                for j in range(n_obj):
+                    mobj = win == float(j)
+                    base = j * 6
+                    g_acc[base + 0] += jnp.where(mobj, g_cr, zero)
+                    g_acc[base + 1] += jnp.where(mobj, g_cg, zero)
+                    g_acc[base + 2] += jnp.where(mobj, g_cb, zero)
+                    g_acc[base + 3] += jnp.where(mobj, g_er, zero)
+                    g_acc[base + 4] += jnp.where(mobj, g_eg, zero)
+                    g_acc[base + 5] += jnp.where(mobj, g_eb, zero)
+
+                cf = jnp.where(contrib, 1.0, 0.0)
+                sc_r = jnp.where(updf, cr * cosb, 1.0)
+                sc_g = jnp.where(updf, cg * cosb, 1.0)
+                sc_b = jnp.where(updf, cb * cosb, 1.0)
+                T_r = cf * er + sc_r * T_r
+                T_g = cf * eg + sc_g * T_g
+                T_b = cf * eb + sc_b * T_b
+            return carry
+
+        jax.lax.fori_loop(0, spp, sample_body, jnp.int32(0))
+
+        # ---- reduce per-object accumulators into the [8, 128] output --
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        out = jnp.zeros((8, 128), jnp.float32)
+        for j in range(n_obj):
+            for c in range(6):
+                s = jnp.sum(g_acc[j * 6 + c])
+                out = out + jnp.where((row_i == c) & (col_i == j), s, 0.0)
+        gout_ref[0] = out
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "cfg", "spp", "total_samples", "tile"),
+)
+def grad_tiles(
+    seed: jnp.ndarray,          # i32 [2]: (prng seed, sample base)
+    cam_vec: jnp.ndarray,
+    obj_table: jnp.ndarray,
+    node_table: jnp.ndarray,
+    tri_table: jnp.ndarray,
+    px: jnp.ndarray,            # [T*S, L] i32
+    py: jnp.ndarray,
+    cot_r: jnp.ndarray,         # [T*S, L] f32 cotangent of summed output
+    cot_g: jnp.ndarray,
+    cot_b: jnp.ndarray,
+    meta: SceneMeta = None,
+    cfg: RenderConfig = None,
+    spp: int = 1,
+    total_samples: int = 1,
+    tile: Tuple[int, int] = (8, 512),
+):
+    """Backward pass of trace_tiles w.r.t. (color, emission). Returns
+    (gcol [No, 3], gemi [No, 3]) summed over all tiles and samples."""
+    S, L = tile
+    n_tiles = px.shape[0] // S
+    n_obj = meta.n_objects
+    max_b = cfg.max_bounces
+    kernel = _make_grad_kernel(meta, cfg, spp, total_samples, tile)
+
+    bspec = pl.BlockSpec((S, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cam
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # objects
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tris
+            bspec, bspec,                            # px py
+            bspec, bspec, bspec,                     # cotangents
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((max_b, S, L), jnp.float32),      # win
+            pltpu.VMEM((max_b, S, L), jnp.float32),      # cos
+            pltpu.VMEM((max_b * 3, S, L), jnp.float32),  # color tape
+            pltpu.VMEM((max_b * 3, S, L), jnp.float32),  # emission tape
+            pltpu.VMEM((max_b * 3, S, L), jnp.float32),  # mask tape
+            pltpu.VMEM((max_b, S, L), jnp.float32),      # flags
+            pltpu.VMEM((n_obj * 6, S, L), jnp.float32),  # per-obj accum
+        ],
+    )
+    (gt,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32)],
+    )(seed, cam_vec, obj_table, node_table, tri_table, px, py,
+      cot_r, cot_g, cot_b)
+    g = gt.sum(axis=0)                       # [8, 128]
+    gcol = g[0:3, :n_obj].T                  # [No, 3]
+    gemi = g[3:6, :n_obj].T
+    return gcol, gemi
+
+
+@functools.lru_cache(maxsize=None)
+def make_diff_render(meta: SceneMeta, cfg: RenderConfig, spp: int,
+                     total_samples: int, tile: Tuple[int, int]):
+    """custom_vjp megakernel render: differentiable in (color, emission).
+
+    Returns fn(color [No,3], emission [No,3], seed [2] i32, cam_vec,
+    obj_table, nodes, tris, px, py) -> (r, g, b) per-slot radiance SUMS
+    (same contract as trace_tiles; caller divides by total spp).
+    obj_table carries the scene geometry; its color/emission columns are
+    OVERWRITTEN from the differentiable inputs.
+    """
+    n = meta.n_objects
+
+    def assemble(obj_table, color, emission):
+        return jnp.concatenate([
+            obj_table[:, 0:24],
+            color[:n].astype(jnp.float32),
+            emission[:n].astype(jnp.float32),
+            obj_table[:, 30:40],
+        ], axis=1)
+
+    @jax.custom_vjp
+    def render(color, emission, seed, cam_vec, obj_table, nodes, tris,
+               px, py):
+        obj = assemble(obj_table, color, emission)
+        return pk.trace_tiles(
+            seed, cam_vec, obj, nodes, tris, px, py, meta=meta, cfg=cfg,
+            spp=spp, total_samples=total_samples, tile=tile)
+
+    def fwd(color, emission, seed, cam_vec, obj_table, nodes, tris, px,
+            py):
+        out = render(color, emission, seed, cam_vec, obj_table, nodes,
+                     tris, px, py)
+        res = (color, emission, seed, cam_vec, obj_table, nodes, tris,
+               px, py)
+        return out, res
+
+    def bwd(res, cots):
+        color, emission, seed, cam_vec, obj_table, nodes, tris, px, py \
+            = res
+        cot_r, cot_g, cot_b = cots
+        obj = assemble(obj_table, color, emission)
+        gcol, gemi = grad_tiles(
+            seed, cam_vec, obj, nodes, tris, px, py,
+            cot_r, cot_g, cot_b,
+            meta=meta, cfg=cfg, spp=spp, total_samples=total_samples,
+            tile=tile)
+        # pad gradients back to the (possibly padded) param shapes
+        gc = jnp.zeros_like(color).at[:n].set(gcol.astype(color.dtype))
+        ge = jnp.zeros_like(emission).at[:n].set(
+            gemi.astype(emission.dtype))
+        return (gc, ge, None, None, None, None, None, None, None)
+
+    render.defvjp(fwd, bwd)
+    return render

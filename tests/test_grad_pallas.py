@@ -1,0 +1,176 @@
+"""Differentiable megakernel (render/pallas_grad.py) correctness.
+
+The estimator is deterministic given a seed (on-core PRNG), so gradients
+can be checked EXACTLY against central finite differences with common
+random numbers — the same-seed trick that makes inverse rendering work at
+all (tools/train_demo.py). The estimator is multilinear in object colors
+(a path hitting object j twice contributes c_j^2), and central
+differences are exact for quadratics, so tolerances are f32-rounding
+level, not MC level.
+
+TPU-only: the megakernel's on-core PRNG has no CPU lowering.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.scenes import get_scene
+
+_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs a TPU device"
+)
+
+TILE = (8, 128)
+
+
+def _setup(samples=32):
+    cfg = RenderConfig(width=32, height=24, samples=samples,
+                       samples_per_pass=samples)
+    sc = get_scene("reference", cfg)
+    arrays, meta = sc.pack()
+    from pathtracer_tpu.render import pallas_kernel as pk
+
+    S, L = TILE
+    xs, ys, pid = pk.tile_pixel_layout(cfg.width, cfg.height, S, L)
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
+    return cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid
+
+
+@_tpu
+def test_megakernel_grad_matches_finite_difference():
+    from pathtracer_tpu.render.pallas_grad import make_diff_render
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup(samples=8)
+    render = make_diff_render(meta, cfg, 8, cfg.samples, TILE)
+    seed = jnp.asarray([3, 0], jnp.int32)
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+
+    # random fixed per-slot weights -> scalar loss
+    rng = np.random.default_rng(0)
+    wr, wg, wb = (jnp.asarray(rng.random(px.shape), jnp.float32)
+                  for _ in range(3))
+
+    def loss(c, e):
+        r, g, b = render(c, e, seed, cam_vec, obj, nodes, tris, px, py)
+        return jnp.sum(r * wr) + jnp.sum(g * wg) + jnp.sum(b * wb)
+
+    gc, ge = jax.grad(loss, argnums=(0, 1))(color, emission)
+    gc = np.asarray(gc)
+    ge = np.asarray(ge)
+    assert np.isfinite(gc).all() and np.isfinite(ge).all()
+    assert np.abs(gc).max() > 0 and np.abs(ge).max() > 0
+
+    # central finite differences on a handful of components, same seed.
+    # Color is continuous everywhere (no roulette branch reads it).
+    # Emission is only perturbed on objects that are ALREADY lights:
+    # at e == 0 the is_light branch flips (paths terminate on the newly
+    # emissive surface), a genuine estimator discontinuity where the
+    # pathwise gradient is one-sided — same semantics as the wavefront
+    # AD path.
+    h = 2e-3
+    checked = 0
+    cases = ([("color", j, c) for (j, c) in
+              [(1, 0), (6, 2), (0, 1), (7, 0)]]        # walls/spheres
+             + [("emission", 0, c) for c in (0, 1, 2)])  # the light
+    for which, j, c in cases:
+        base = color if which == "color" else emission
+        delta = jnp.zeros_like(base).at[j, c].set(h)
+        if which == "color":
+            lp = loss(color + delta, emission)
+            lm = loss(color - delta, emission)
+            g_an = gc[j, c]
+        else:
+            lp = loss(color, emission + delta)
+            lm = loss(color, emission - delta)
+            g_an = ge[j, c]
+        g_fd = float((lp - lm) / (2 * h))
+        scale = max(abs(g_fd), abs(float(g_an)), 1e-3)
+        assert abs(g_fd - float(g_an)) / scale < 5e-2, (
+            which, j, c, g_fd, float(g_an))
+        checked += 1
+    assert checked == 7
+
+
+@_tpu
+def test_megakernel_grad_agrees_with_wavefront_ad():
+    """Two independent estimators of the same expected gradient must
+    agree on its dominant components.
+
+    Uses a LINEAR loss (fixed per-pixel weights): its expected gradient
+    E[J^T w] is the same at ANY spp, so the two estimators (different
+    RNG streams, different sample counts) are unbiased for the same
+    quantity — a quadratic loss would add O(1/spp) self-covariance bias
+    that differs between the two. The megakernel side reuses the SAME
+    kernel spec as the finite-difference test (each distinct (spp, tile)
+    is a fresh multi-minute remote compile here); the wavefront side
+    runs on the CPU backend (identical estimator)."""
+    import jax
+
+    from pathtracer_tpu.diff.grad import extract_params, render_image_diff
+    from pathtracer_tpu.render.pallas_grad import make_diff_render
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup(samples=8)
+    render = make_diff_render(meta, cfg, 8, cfg.samples, TILE)
+
+    # per-PIXEL weights, mapped into the megakernel's slot layout
+    rng = np.random.default_rng(1)
+    w_pix = rng.random((cfg.height * cfg.width, 3)).astype(np.float32)
+    w_slot = np.zeros((pid.shape[0], 3), np.float32)
+    sel = pid >= 0
+    w_slot[sel] = w_pix[pid[sel]]
+    ws = w_slot.reshape(px.shape + (3,))
+    wr, wg, wb = (jnp.asarray(ws[..., k]) for k in range(3))
+
+    def mk_loss(c, e, seed):
+        r, g, b = render(c, e, seed, cam_vec, obj, nodes, tris, px, py)
+        inv = 1.0 / 8.0
+        return (jnp.sum(r * inv * wr) + jnp.sum(g * inv * wg)
+                + jnp.sum(b * inv * wb))
+
+    grad_fn = jax.jit(jax.grad(mk_loss, argnums=(0, 1)))
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    gc_mk = np.zeros(color.shape)
+    ge_mk = np.zeros(emission.shape)
+    n_seeds = 8
+    for i in range(n_seeds):
+        gc_i, ge_i = grad_fn(color, emission,
+                             jnp.asarray([20 + i, 0], jnp.int32))
+        gc_mk += np.asarray(gc_i) / n_seeds
+        ge_mk += np.asarray(ge_i) / n_seeds
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        arrays_c, meta_c = sc.pack()
+        params = extract_params(arrays_c)
+        cam = sc.camera.pack()
+        ys2, xs2 = np.mgrid[0:cfg.height, 0:cfg.width]
+        pxw = jnp.asarray(xs2.ravel(), jnp.int32)
+        pyw = jnp.asarray(ys2.ravel(), jnp.int32)
+        wv = jnp.asarray(w_pix)
+
+        def wf_loss(p):
+            img = render_image_diff(p, arrays_c, meta_c, cfg, cam, pxw,
+                                    pyw, jax.random.PRNGKey(5), 64)
+            return (jnp.sum(img.x * wv[:, 0]) + jnp.sum(img.y * wv[:, 1])
+                    + jnp.sum(img.z * wv[:, 2]))
+
+        wf_grads = jax.grad(wf_loss)(params)
+
+    gc_wf = np.asarray(wf_grads.color)
+    ge_wf = np.asarray(wf_grads.emission)
+
+    # dominant components agree within MC noise of the two estimates
+    for name, mk, wf in (("color", gc_mk, gc_wf),
+                         ("emission", ge_mk, ge_wf)):
+        big = np.abs(wf) > 0.05 * np.abs(wf).max()
+        assert big.any()
+        rel = np.abs(mk[big] - wf[big]) / np.abs(wf[big])
+        assert np.median(rel) < 0.25, (name, rel, mk[big], wf[big])
