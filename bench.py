@@ -245,8 +245,9 @@ def main():
           "diff": bench_diff}[backend]
     msps = _measure(fn, cfg, sc, arrays, meta, spp)
 
+    tag = "_fwd_bwd" if backend == "diff" else ""
     rec = {
-        "metric": f"{scene}_{width}x{height}_Msamples_per_sec",
+        "metric": f"{scene}{tag}_{width}x{height}_Msamples_per_sec",
         "value": round(msps, 3),
         "unit": "Msamples/s",
         "vs_baseline": round(
