@@ -38,7 +38,8 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     tile_env = os.environ.get("BENCH_TILE")
     S, L = (tuple(int(v) for v in tile_env.split("x")) if tile_env
             else pk.default_tile(meta))
-    xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L)
+    xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L,
+                                        order=pk.default_order(meta))
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))

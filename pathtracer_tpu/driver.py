@@ -215,7 +215,8 @@ def render_driver(
         pass  # sharded segment built above
     elif use_pallas:
         S, L = pk.default_tile(meta)
-        xs2, ys2, pid = pk.tile_pixel_layout(W, H, S, L)
+        xs2, ys2, pid = pk.tile_pixel_layout(W, H, S, L,
+                                             order=pk.default_order(meta))
         px2 = jnp.asarray(xs2)
         py2 = jnp.asarray(ys2)
         padded_pixels = pid.shape[0]

@@ -192,7 +192,8 @@ def make_driver_segments(
 
         S, L = pk.default_tile(meta)
         xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
-                                           shard_granule=n_shards)
+                                           shard_granule=n_shards,
+                                           order=pk.default_order(meta))
         px = _put_sharded(xs, shard)
         py = _put_sharded(ys, shard)
         cam_vec = pk.build_camera_vec(camera)
@@ -329,7 +330,8 @@ def render_sharded_pallas(
     # tile rows padded so each pixel shard holds a whole number of tiles
     n_pix = W * H
     xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
-                                       shard_granule=n_pix_shards)
+                                       shard_granule=n_pix_shards,
+                                       order=pk.default_order(meta))
 
     shard = NamedSharding(mesh, P("pixels"))
     rep = NamedSharding(mesh, P())

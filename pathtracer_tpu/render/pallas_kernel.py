@@ -153,6 +153,18 @@ def default_tile(meta: SceneMeta) -> Tuple[int, int]:
     return (8, 512) if meta.has_groups else (64, 256)
 
 
+def default_order(meta: SceneMeta) -> str:
+    """Pixel->tile assignment order: compact blocks for mesh scenes
+    (smaller packet unions, +9% teapot), scanline for primitive scenes
+    (block measured neutral there, 213.9 vs 212.6 Ms/s at 8 spp — keep
+    the layout the 597 Ms/s headline was measured with). PT_TILE_ORDER
+    still overrides both."""
+    import os
+
+    return os.environ.get(
+        "PT_TILE_ORDER", "block" if meta.has_groups else "linear")
+
+
 def tile_pixel_layout(W: int, H: int, S: int, L: int,
                       shard_granule: int = 1, order: str = None):
     """Assign pixels to ray tiles.
@@ -982,7 +994,7 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
     W, H = camera.width, camera.height
     S, L = tile if tile is not None else default_tile(meta)
 
-    xs, ys, pid = tile_pixel_layout(W, H, S, L)
+    xs, ys, pid = tile_pixel_layout(W, H, S, L, order=default_order(meta))
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(build_camera_vec(camera))

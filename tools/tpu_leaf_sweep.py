@@ -36,7 +36,8 @@ for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
         arrays, meta = pack_scene(sc.objects, leaf_size=leaf)
         nn = int(np.asarray(arrays.node_bb_min).shape[0])
         S, L = pk.default_tile(meta)
-        xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L)
+        xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L,
+                                            order=pk.default_order(meta))
         px = jnp.asarray(xs)
         py = jnp.asarray(ys)
         cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
