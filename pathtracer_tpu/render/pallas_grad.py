@@ -103,7 +103,8 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
                                     t_max, root, end, tox, toy, toz,
                                     tdx, tdy, tdz, active, bt0,
-                                    oct_base=oct_base)
+                                    oct_base=oct_base,
+                                    uniform_color=meta.tri_uniform_color)
 
         def sample_body(n, carry):
             # --- rayForPixel: identical to the forward megakernel -------

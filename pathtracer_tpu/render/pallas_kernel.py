@@ -62,8 +62,11 @@ _CAM_COLS = 17
 # VMEM mesh-node row layout (one BVH node per sublane row):
 #   0-2 bbmin, 3-5 bbmax, 6 tri_start (exact f32 int), 7 is_leaf, 8 exit
 _NODE_COLS = 16
-# VMEM triangle rows: 4 slots per row, 24-col stride per slot:
-#   +0-2 p1, +3-5 e1, +6-8 e2, +9-11 n1, +12-14 n2, +15-17 n3, +18-20 color
+# VMEM triangle rows: 4 slots per row, 24-col stride per slot
+# (dual-basis layout, see _packet_traverse):
+#   +0-2 p1, +3-5 Ng (= e1 x e2, unnormalized), +6-8 U, +9-11 V
+#   (U.e1 = 1, U.e2 = 0; V.e1 = 0, V.e2 = 1; both in-plane),
+#   +12-14 n1, +15-17 d21 (= n2-n1), +18-20 d31 (= n3-n1), +21-23 color
 _TRI_SLOTS_PER_ROW = 4
 _TRI_STRIDE = 24
 
@@ -125,18 +128,30 @@ def build_mesh_tables(scn: SceneArrays, meta: SceneMeta
     rows = (ns + _TRI_SLOTS_PER_ROW - 1) // _TRI_SLOTS_PER_ROW
     tris = np.zeros((rows, _TRI_SLOTS_PER_ROW * _TRI_STRIDE),
                     dtype=np.float32)
-    # slots 12-17 hold the normal DELTAS (n2-n1, n3-n1): the kernel's
-    # smooth-normal interpolation becomes n1 + u*d21 + v*d31 (2 FMAs per
-    # component instead of the 3-term barycentric form)
-    fields = [scn.tri_p1, scn.tri_e1, scn.tri_e2, scn.tri_n1,
+    # dual-basis precompute (see _packet_traverse): Ng = e1 x e2 and the
+    # in-plane reciprocal basis U = e2 x Ng / |Ng|^2, V = Ng x e1 / |Ng|^2
+    # so the kernel's barycentrics are two affine dot products. Normal
+    # slots 15-20 hold DELTAS (n2-n1, n3-n1): smooth-normal interpolation
+    # is n1 + u*d21 + v*d31 (2 FMAs per component). Degenerate (padding)
+    # slots have Ng = 0 -> den_ok false in-kernel; their U/V are zeroed
+    # here to avoid inf/nan in the table.
+    # f32 throughout so this table is bit-identical to scene_tables_jnp
+    e1 = np.asarray(scn.tri_e1, dtype=np.float32)
+    e2 = np.asarray(scn.tri_e2, dtype=np.float32)
+    ng = np.cross(e1, e2)
+    l2 = (ng * ng).sum(axis=1, keepdims=True)
+    safe = np.where(l2 > 0.0, l2, 1.0)
+    uu = np.where(l2 > 0.0, np.cross(e2, ng) / safe, 0.0)
+    vv = np.where(l2 > 0.0, np.cross(ng, e1) / safe, 0.0)
+    fields = [scn.tri_p1, ng, uu, vv, scn.tri_n1,
               np.asarray(scn.tri_n2) - np.asarray(scn.tri_n1),
               np.asarray(scn.tri_n3) - np.asarray(scn.tri_n1),
               scn.tri_color]
     flat = np.concatenate([np.asarray(f, dtype=np.float32)
-                           for f in fields], axis=1)  # [Ns, 21]
+                           for f in fields], axis=1)  # [Ns, 24]
     for s in range(ns):
         r, k = divmod(s, _TRI_SLOTS_PER_ROW)
-        tris[r, k * _TRI_STRIDE:k * _TRI_STRIDE + 21] = flat[s]
+        tris[r, k * _TRI_STRIDE:(k + 1) * _TRI_STRIDE] = flat[s]
     return nodes, tris
 
 
@@ -407,137 +422,233 @@ def _group_octant_base(meta: SceneMeta, pre, tdx, tdy, tdz):
     return (1 + oct) * jnp.int32(meta.n_nodes)
 
 
+def _lane_chunks(x, nc):
+    """Split the lane (minor) dim into `nc` vreg-aligned chunks."""
+    if nc == 1:
+        return [x]
+    w = x.shape[-1] // nc
+    return [x[..., j * w:(j + 1) * w] for j in range(nc)]
+
+
 def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
                      root, end, tox, toy, toz, tdx, tdy, tdz,
-                     active, bt0, oct_base=None):
+                     active, bt0, oct_base=None, uniform_color=None):
     """Packet skip-link BVH walk: ONE scalar node pointer for the whole
     ray tile (classic packet tracing on the TPU's scalar-core + VPU
     split), replacing both the reference's per-work-item stack
     (tracer.cl:624) and the wavefront path's per-ray skip index. Per
-    iteration: one scalar node fetch, one vectorized slab test, an
-    any-reduce, and (for hit leaves) vectorized Möller–Trumbore tests
-    with running-best selects of t / interpolated smooth normal /
+    iteration: one scalar node fetch, a vectorized slab test, an
+    any-reduce, and (for hit leaves) vectorized triangle tests with
+    running-best selects of t / interpolated smooth normal /
     per-triangle color. best-t starts from `bt0` (the closest hit among
     earlier objects) so occluded packets prune immediately.
+
+    Two cost-model refinements over the naive packet walk (both A/B'd on
+    hardware, docs/PERFORMANCE.md):
+
+    - SUB-PACKET LEAF GATING: the tile's lane dim is split into
+      vreg-sized (128-lane) chunks, each carrying its own slab mask and
+      best-t, and each leaf's triangle tests run under a PER-CHUNK
+      lax.cond. A leaf pays vector work only for the sub-packets that
+      actually overlap it — the packet-union cost model then applies at
+      128-ray granularity while the scalar walk stays shared (the part
+      that made genuinely smaller packets lose).
+    - DUAL-BASIS TRIANGLE TEST: build_mesh_tables precomputes, per
+      triangle, the geometric normal Ng = E1 x E2 and the in-plane dual
+      basis (U, V) with U.E1 = 1, U.E2 = 0 (and symmetrically V), so the
+      hit test is plane-t plus two affine barycentric evaluations:
+      t = (P1 - o).Ng / d.Ng, u = (o - P1 + t d).U, v = likewise.
+      Same hits as Möller–Trumbore (tracer.cl:640-674) — |d.Ng| equals
+      MT's |det|, so the eps degeneracy test is unchanged — at ~2/3 the
+      VPU ops (the two per-triangle cross products fall out).
+
+    `uniform_color` (meta.tri_uniform_color): when every real triangle
+    in the pool shares one color, the per-triangle color selects are
+    statically elided and the constant is broadcast instead.
 
     Shared by the megakernel (_make_kernel) and the intersect-only kernel
     (_make_intersect_kernel). Returns (t, nx, ny, nz, cr, cg, cb)."""
     shape = tox.shape
-    zero = jnp.zeros(shape, jnp.float32)
+    # vreg-aligned sub-packets: lane dim in 128-lane chunks
+    nc = shape[-1] // 128 if (shape[-1] % 128 == 0 and shape[-1] > 128) \
+        else 1
+    c_shape = (shape[0], shape[-1] // nc)
+    zero = jnp.zeros(c_shape, jnp.float32)
     any_pre = jnp.any(active)
     root_e = jnp.int32(root)
     end_e = jnp.int32(end)
     if oct_base is not None:
         root_e = root_e + oct_base
         end_e = end_e + oct_base
-    init = (jnp.where(any_pre, root_e, end_e),
-            bt0, zero, zero, zero, zero, zero, zero)
+
+    ctox = _lane_chunks(tox, nc)
+    ctoy = _lane_chunks(toy, nc)
+    ctoz = _lane_chunks(toz, nc)
+    ctdx = _lane_chunks(tdx, nc)
+    ctdy = _lane_chunks(tdy, nc)
+    ctdz = _lane_chunks(tdz, nc)
+    cact = _lane_chunks(active, nc)
+    cbt0 = _lane_chunks(bt0, nc)
 
     # hoist the slab-test divisions out of the walk: 1/d computed once
     # per packet; near-zero components take the BIG branch (same
     # semantics as _axis_slab)
-    ok_x = jnp.abs(tdx) >= eps
-    ok_y = jnp.abs(tdy) >= eps
-    ok_z = jnp.abs(tdz) >= eps
-    inv_dx = jnp.where(ok_x, 1.0 / jnp.where(ok_x, tdx, 1.0), _BIG)
-    inv_dy = jnp.where(ok_y, 1.0 / jnp.where(ok_y, tdy, 1.0), _BIG)
-    inv_dz = jnp.where(ok_z, 1.0 / jnp.where(ok_z, tdz, 1.0), _BIG)
+    def inv_safe(td):
+        ok = jnp.abs(td) >= eps
+        return jnp.where(ok, 1.0 / jnp.where(ok, td, 1.0), _BIG)
+
+    cinv_dx = [inv_safe(d) for d in ctdx]
+    cinv_dy = [inv_safe(d) for d in ctdy]
+    cinv_dz = [inv_safe(d) for d in ctdz]
+
+    ztuple = tuple(zero for _ in range(nc))
+    # color carries exist only when the mesh is not statically uniform
+    n_carry = 7 if uniform_color is None else 4
+    init = (jnp.where(any_pre, root_e, end_e), tuple(cbt0)) + \
+        (ztuple,) * (n_carry - 1)
 
     def tcond(st):
         return st[0] < end_e
 
     def tbody(st):
-        idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
+        idx = st[0]
+        bt, gnx, gny, gnz = st[1], st[2], st[3], st[4]
+        if uniform_color is None:
+            gcr, gcg, gcb = st[5], st[6], st[7]
+        else:
+            gcr = gcg = gcb = ztuple
         node = node_ref[pl.ds(idx, 1), :]
-        ax1 = (node[0, 0] - tox) * inv_dx
-        ax2 = (node[0, 3] - tox) * inv_dx
-        ay1 = (node[0, 1] - toy) * inv_dy
-        ay2 = (node[0, 4] - toy) * inv_dy
-        az1 = (node[0, 2] - toz) * inv_dz
-        az2 = (node[0, 5] - toz) * inv_dz
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(ax1, ax2), jnp.minimum(ay1, ay2)),
-            jnp.minimum(az1, az2))
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(ax1, ax2), jnp.maximum(ay1, ay2)),
-            jnp.maximum(az1, az2))
-        hitb = active & (tmin <= tmax) & (tmax > eps) & (tmin < bt)
-        anyhit = jnp.any(hitb)
+        hitb = []
+        for j in range(nc):
+            ax1 = (node[0, 0] - ctox[j]) * cinv_dx[j]
+            ax2 = (node[0, 3] - ctox[j]) * cinv_dx[j]
+            ay1 = (node[0, 1] - ctoy[j]) * cinv_dy[j]
+            ay2 = (node[0, 4] - ctoy[j]) * cinv_dy[j]
+            az1 = (node[0, 2] - ctoz[j]) * cinv_dz[j]
+            az2 = (node[0, 5] - ctoz[j]) * cinv_dz[j]
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(ax1, ax2), jnp.minimum(ay1, ay2)),
+                jnp.minimum(az1, az2))
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(ax1, ax2), jnp.maximum(ay1, ay2)),
+                jnp.maximum(az1, az2))
+            hitb.append(cact[j] & (tmin <= tmax) & (tmax > eps)
+                        & (tmin < bt[j]))
+        anyhit_c = [jnp.any(h) for h in hitb]
+        anyhit = anyhit_c[0]
+        for j in range(1, nc):
+            anyhit = anyhit | anyhit_c[j]
         is_leaf = node[0, 7] > 0.5
         start = node[0, 6].astype(jnp.int32)
         exitn = node[0, 8].astype(jnp.int32)
+        r0 = jax.lax.div(start, jnp.int32(_TRI_SLOTS_PER_ROW))
 
-        def leaf_fn(carry):
-            import os as _os
+        def leaf_fn(j):
+            def body(carry):
+                import os as _os
 
-            if _os.environ.get("PT_ABLATE_LEAF") == "1":
-                # diagnostic ablation: traversal structure intact,
-                # triangle tests removed (renders WRONG; cost attribution
-                # only — see docs/PERFORMANCE.md mesh cost model)
-                return carry
-            bt, gnx, gny, gnz, gcr, gcg, gcb = carry
-            r0 = jax.lax.div(start, jnp.int32(_TRI_SLOTS_PER_ROW))
-            block = tri_ref[pl.ds(r0, leaf_rows), :]
-            for r in range(leaf_rows):
-                for s in range(_TRI_SLOTS_PER_ROW):
-                    c = s * _TRI_STRIDE
-                    e1x = block[r, c + 3]
-                    e1y = block[r, c + 4]
-                    e1z = block[r, c + 5]
-                    e2x = block[r, c + 6]
-                    e2y = block[r, c + 7]
-                    e2z = block[r, c + 8]
-                    # Möller–Trumbore (tracer.cl:640-674), ray vectors x
-                    # triangle scalars
-                    dc2x = tdy * e2z - tdz * e2y
-                    dc2y = tdz * e2x - tdx * e2z
-                    dc2z = tdx * e2y - tdy * e2x
-                    det = e1x * dc2x + e1y * dc2y + e1z * dc2z
-                    det_ok = jnp.abs(det) >= eps
-                    f = 1.0 / jnp.where(det_ok, det, 1.0)
-                    px_ = tox - block[r, c + 0]
-                    py_ = toy - block[r, c + 1]
-                    pz_ = toz - block[r, c + 2]
-                    u = f * (px_ * dc2x + py_ * dc2y + pz_ * dc2z)
-                    ocx = py_ * e1z - pz_ * e1y
-                    ocy = pz_ * e1x - px_ * e1z
-                    ocz = px_ * e1y - py_ * e1x
-                    v = f * (tdx * ocx + tdy * ocy + tdz * ocz)
-                    t = f * (e2x * ocx + e2y * ocy + e2z * ocz)
-                    # u <= 1 is implied by v >= 0 & u + v <= 1
-                    better = (
-                        hitb & det_ok
-                        & (u >= 0.0)
-                        & (v >= 0.0) & (u + v <= 1.0)
-                        & (t > eps) & (t < t_max) & (t < bt)
-                    )
-                    # smooth normal n2*u + n3*v + n1*(1-u-v)
-                    # (tracer.cl:669) = n1 + u*(n2-n1) + v*(n3-n1);
-                    # slots 12-17 store the deltas -> 2 FMAs/component
-                    cnx = (block[r, c + 9] + block[r, c + 12] * u
-                           + block[r, c + 15] * v)
-                    cny = (block[r, c + 10] + block[r, c + 13] * u
-                           + block[r, c + 16] * v)
-                    cnz = (block[r, c + 11] + block[r, c + 14] * u
-                           + block[r, c + 17] * v)
-                    bt = jnp.where(better, t, bt)
-                    gnx = jnp.where(better, cnx, gnx)
-                    gny = jnp.where(better, cny, gny)
-                    gnz = jnp.where(better, cnz, gnz)
-                    gcr = jnp.where(better, block[r, c + 18], gcr)
-                    gcg = jnp.where(better, block[r, c + 19], gcg)
-                    gcb = jnp.where(better, block[r, c + 20], gcb)
-            return (bt, gnx, gny, gnz, gcr, gcg, gcb)
+                if _os.environ.get("PT_ABLATE_LEAF") == "1":
+                    # diagnostic ablation: traversal structure intact,
+                    # triangle tests removed (renders WRONG; cost
+                    # attribution only — docs/PERFORMANCE.md cost model)
+                    return carry
+                if uniform_color is None:
+                    bt, gnx, gny, gnz, gcr, gcg, gcb = carry
+                else:
+                    bt, gnx, gny, gnz = carry
+                    gcr = gcg = gcb = zero
+                tox, toy, toz = ctox[j], ctoy[j], ctoz[j]
+                tdx, tdy, tdz = ctdx[j], ctdy[j], ctdz[j]
+                hb = hitb[j]
+                block = tri_ref[pl.ds(r0, leaf_rows), :]
+                for r in range(leaf_rows):
+                    for s in range(_TRI_SLOTS_PER_ROW):
+                        c = s * _TRI_STRIDE
+                        # dual-basis test (see module docstring); layout:
+                        # P1(0) Ng(3) U(6) V(9) n1(12) d21(15) d31(18)
+                        # color(21)
+                        pxx = tox - block[r, c + 0]
+                        pyy = toy - block[r, c + 1]
+                        pzz = toz - block[r, c + 2]
+                        den = (tdx * block[r, c + 3]
+                               + tdy * block[r, c + 4]
+                               + tdz * block[r, c + 5])
+                        num_t = -(pxx * block[r, c + 3]
+                                  + pyy * block[r, c + 4]
+                                  + pzz * block[r, c + 5])
+                        den_ok = jnp.abs(den) >= eps
+                        f = 1.0 / jnp.where(den_ok, den, 1.0)
+                        t = num_t * f
+                        u = (pxx * block[r, c + 6]
+                             + pyy * block[r, c + 7]
+                             + pzz * block[r, c + 8]
+                             + t * (tdx * block[r, c + 6]
+                                    + tdy * block[r, c + 7]
+                                    + tdz * block[r, c + 8]))
+                        v = (pxx * block[r, c + 9]
+                             + pyy * block[r, c + 10]
+                             + pzz * block[r, c + 11]
+                             + t * (tdx * block[r, c + 9]
+                                    + tdy * block[r, c + 10]
+                                    + tdz * block[r, c + 11]))
+                        # u <= 1 is implied by v >= 0 & u + v <= 1
+                        better = (
+                            hb & den_ok
+                            & (u >= 0.0)
+                            & (v >= 0.0) & (u + v <= 1.0)
+                            & (t > eps) & (t < t_max) & (t < bt)
+                        )
+                        # smooth normal n2*u + n3*v + n1*(1-u-v)
+                        # (tracer.cl:669) = n1 + u*(n2-n1) + v*(n3-n1)
+                        cnx = (block[r, c + 12] + block[r, c + 15] * u
+                               + block[r, c + 18] * v)
+                        cny = (block[r, c + 13] + block[r, c + 16] * u
+                               + block[r, c + 19] * v)
+                        cnz = (block[r, c + 14] + block[r, c + 17] * u
+                               + block[r, c + 20] * v)
+                        bt = jnp.where(better, t, bt)
+                        gnx = jnp.where(better, cnx, gnx)
+                        gny = jnp.where(better, cny, gny)
+                        gnz = jnp.where(better, cnz, gnz)
+                        if uniform_color is None:
+                            gcr = jnp.where(better, block[r, c + 21], gcr)
+                            gcg = jnp.where(better, block[r, c + 22], gcg)
+                            gcb = jnp.where(better, block[r, c + 23], gcb)
+                if uniform_color is None:
+                    return (bt, gnx, gny, gnz, gcr, gcg, gcb)
+                return (bt, gnx, gny, gnz)
+            return body
 
-        carry = jax.lax.cond(
-            anyhit & is_leaf, leaf_fn, lambda cr: cr,
-            (bt, gnx, gny, gnz, gcr, gcg, gcb),
-        )
+        outs = [[] for _ in range(n_carry)]
+        for j in range(nc):
+            carry_j = (bt[j], gnx[j], gny[j], gnz[j])
+            if uniform_color is None:
+                carry_j = carry_j + (gcr[j], gcg[j], gcb[j])
+            cj = jax.lax.cond(
+                anyhit_c[j] & is_leaf, leaf_fn(j), lambda cr: cr, carry_j)
+            for k in range(n_carry):
+                outs[k].append(cj[k])
+
         nidx = jnp.where(anyhit, idx + 1, exitn)
-        return (nidx,) + carry
+        return (nidx,) + tuple(tuple(o) for o in outs)
 
     st = jax.lax.while_loop(tcond, tbody, init)
-    return st[1], st[2], st[3], st[4], st[5], st[6], st[7]
+
+    def cat(parts):
+        return parts[0] if nc == 1 else jnp.concatenate(parts, axis=-1)
+
+    bt = cat(list(st[1]))
+    if uniform_color is None:
+        cr, cg, cb = cat(list(st[5])), cat(list(st[6])), cat(list(st[7]))
+    else:
+        # statically uniform mesh color: broadcast where a tri was hit
+        # (callers select by `closer = t < best_t`, so dead lanes never
+        # read these)
+        cr = jnp.full(shape, uniform_color[0], jnp.float32)
+        cg = jnp.full(shape, uniform_color[1], jnp.float32)
+        cb = jnp.full(shape, uniform_color[2], jnp.float32)
+    return (bt, cat(list(st[2])), cat(list(st[3])), cat(list(st[4])),
+            cr, cg, cb)
 
 
 def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
@@ -585,7 +696,8 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
                                     t_max, root, end, tox, toy, toz,
                                     tdx, tdy, tdz, active, bt0,
-                                    oct_base=oct_base)
+                                    oct_base=oct_base,
+                                    uniform_color=meta.tri_uniform_color)
 
         def sample_body(n, acc):
             acc_r, acc_g, acc_b = acc
@@ -1050,7 +1162,8 @@ def _make_intersect_kernel(meta: SceneMeta, cfg: RenderConfig,
             return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
                                     t_max, root, end, tox, toy, toz,
                                     tdx, tdy, tdz, active, bt0,
-                                    oct_base=oct_base)
+                                    oct_base=oct_base,
+                                    uniform_color=meta.tri_uniform_color)
 
         best_t = jnp.full(shape, _BIG, jnp.float32)
         w_idx = jnp.zeros(shape, jnp.int32)
@@ -1192,14 +1305,20 @@ def scene_tables_jnp(scn: SceneArrays, meta: SceneMeta):
         jnp.zeros((nn, _NODE_COLS - 9), jnp.float32),
     ], axis=1)
     ns = scn.tri_p1.shape[0]
-    # normal deltas in slots 12-17 (see build_mesh_tables)
+    # dual-basis precompute + normal deltas (see build_mesh_tables)
+    e1 = f(scn.tri_e1)
+    e2 = f(scn.tri_e2)
+    ng = jnp.cross(e1, e2)
+    l2 = (ng * ng).sum(axis=1, keepdims=True)
+    safe = jnp.where(l2 > 0.0, l2, 1.0)
+    uu = jnp.where(l2 > 0.0, jnp.cross(e2, ng) / safe, 0.0)
+    vv = jnp.where(l2 > 0.0, jnp.cross(ng, e1) / safe, 0.0)
     flat = jnp.concatenate([
-        f(scn.tri_p1), f(scn.tri_e1), f(scn.tri_e2), f(scn.tri_n1),
+        f(scn.tri_p1), f(ng), f(uu), f(vv), f(scn.tri_n1),
         f(scn.tri_n2) - f(scn.tri_n1), f(scn.tri_n3) - f(scn.tri_n1),
         f(scn.tri_color),
-    ], axis=1)                                            # [Ns, 21]
-    flat = jnp.pad(flat, ((0, (-ns) % _TRI_SLOTS_PER_ROW),
-                          (0, _TRI_STRIDE - 21)))         # [Ns_pad, 24]
+    ], axis=1)                                            # [Ns, 24]
+    flat = jnp.pad(flat, ((0, (-ns) % _TRI_SLOTS_PER_ROW), (0, 0)))
     tris = flat.reshape(-1, _TRI_SLOTS_PER_ROW * _TRI_STRIDE)
     return obj, nodes, tris
 

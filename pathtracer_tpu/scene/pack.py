@@ -84,6 +84,12 @@ class SceneArrays(NamedTuple):
     # as f32 columns — pack_scene asserts the pool stays < 2^24 texels so
     # the bases are f32-exact.
     tex_pool_u32: jnp.ndarray      # [sum(H*W)] u32
+    # Quad variant of the pool: row i holds the 4 bilinear taps anchored
+    # at texel i — [c00, c01, c10, c11] with that texture's REPEAT wrap
+    # baked in — so the sampler can fetch a whole bilinear footprint with
+    # ONE row gather instead of four 1-D takes (PT_TEX_FETCH=quad;
+    # A/B'd on hardware, tools/gather_bench.py / docs/PERFORMANCE.md)
+    tex_pool_quad_u32: jnp.ndarray  # [sum(H*W), 4] u32
     tex_base: jnp.ndarray          # [No] f32-exact texel offset (color)
     tex_w: jnp.ndarray             # [No]
     tex_h: jnp.ndarray             # [No]
@@ -120,6 +126,11 @@ class SceneMeta:
     # orders, bvh.octant_node_orders); the megakernel picks the copy by
     # the packet's majority direction octant
     octant_orders: bool = False
+    # when every real triangle in the pool shares one color (common for
+    # single-material OBJ models), the megakernel statically elides the
+    # per-triangle color selects and broadcasts this constant instead
+    # (render/pallas_kernel._packet_traverse); None = per-tri colors
+    tri_uniform_color: "Tuple[float, float, float] | None" = None
 
     @property
     def has_groups(self) -> bool:
@@ -174,6 +185,7 @@ def _build_texel_pool(kind_images):
     and it lets the integrator fetch any texture of any kind with a
     single 4-tap bilinear gather."""
     chunks = []
+    quads = []
     tables = {}
     off = 0
     for kind, images in kind_images.items():
@@ -182,17 +194,25 @@ def _build_texel_pool(kind_images):
             h, w = im.shape[0], im.shape[1]
             q = np.clip(np.round(im[..., :3] * 255.0), 0,
                         255).astype(np.uint32)
-            chunks.append(
-                (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16))
-                .reshape(-1))
+            packed = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+            chunks.append(packed.reshape(-1))
+            # quad rows: bilinear footprint [c00, c01, c10, c11] with
+            # this texture's REPEAT wrap baked in (see SceneArrays)
+            c01 = np.roll(packed, -1, axis=1)
+            c10 = np.roll(packed, -1, axis=0)
+            c11 = np.roll(c10, -1, axis=1)
+            quads.append(np.stack([packed, c01, c10, c11],
+                                  axis=-1).reshape(-1, 4))
             entries.append((off, w, h))
             off += h * w
         tables[kind] = entries
     pool = np.concatenate(chunks) if chunks else np.zeros(1, np.uint32)
+    pool_quad = (np.concatenate(quads)
+                 if quads else np.zeros((1, 4), np.uint32))
     assert pool.size < 2 ** 24, (
         f"texel pool has {pool.size} texels; f32-exact base offsets cap "
         "at 2^24 — switch tex_base to an i32 side-table to grow further")
-    return pool, tables
+    return pool, pool_quad, tables
 
 
 def pack_scene(
@@ -323,7 +343,7 @@ def pack_scene(
     # type selects its sampler kind (plane->planar, sphere->spherical,
     # box->cube-cross; tracer.cl:1077-1093); normal maps are planar-only
     # (tracer.cl:907-911)
-    tex_pool, pool_tables = _build_texel_pool({
+    tex_pool, tex_pool_quad, pool_tables = _build_texel_pool({
         "planar": list(textures),
         "sphere": list(sphere_textures),
         "cube": list(cube_textures),
@@ -384,6 +404,7 @@ def pack_scene(
                                          np.float32)),
         tex_cube=f(_pack_texture_atlas(cube_textures, np.float32)),
         tex_pool_u32=jnp.asarray(tex_pool),
+        tex_pool_quad_u32=jnp.asarray(tex_pool_quad),
         tex_base=f(pool_base),
         tex_w=f(pool_w),
         tex_h=f(pool_h),
@@ -400,6 +421,16 @@ def pack_scene(
         i for i, s in enumerate(objects)
         if s.material.emission[0] > 0.0 and obj_type[i] != NONE_TYPE
     )
+    # static uniform-triangle-color detection: real (non-padding) slots
+    # have a nonzero geometric normal; padding slots never hit, so only
+    # real slots constrain uniformity
+    uni_color = None
+    if not dummy and pool.n_tri_slots:
+        _ng = np.cross(np.asarray(pool.tri_e1), np.asarray(pool.tri_e2))
+        _real = (_ng * _ng).sum(axis=1) > 0.0
+        _cols = np.asarray(pool.tri_color, dtype=np.float32)[_real]
+        if len(_cols) and bool(np.all(_cols == _cols[0])):
+            uni_color = tuple(float(c) for c in _cols[0])
     meta = SceneMeta(
         n_objects=n,
         max_objects=no,
@@ -413,5 +444,6 @@ def pack_scene(
         textured_types=tuple(textured_types),
         has_normal_maps=has_nm,
         light_indices=lights,
+        tri_uniform_color=uni_color,
     )
     return arrays, meta
