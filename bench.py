@@ -16,6 +16,16 @@ import json
 import os
 import time
 
+# honor an explicit platform request (the contract smoke test pins
+# JAX_PLATFORMS=cpu): the axon TPU plugin force-resets the env var at
+# interpreter start, so only jax.config.update BEFORE backend init
+# actually keeps a subprocess off the TPU tunnel (tests/conftest.py has
+# the same workaround)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 BASELINE_MSPS = 1280 * 960 * 2048 / 45.43 / 1e6  # 55.39 Msamples/s
 # per-scene reference baselines (BASELINE.md): best published wall times
 # at 1280x960 x 2048 spp on the RTX 2080

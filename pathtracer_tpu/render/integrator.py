@@ -28,6 +28,7 @@ Semantics preserved exactly (all cited):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -117,6 +118,18 @@ class ObjAttrs(NamedTuple):
     tex_nm_base: jnp.ndarray
     tex_nm_w: jnp.ndarray
     tex_nm_h: jnp.ndarray
+
+
+def _quad_pool(scn: SceneArrays):
+    """Texel-fetch strategy switch (trace-time static): PT_TEX_FETCH=quad
+    fetches the whole bilinear footprint with one row gather from the
+    precomputed quad pool (pack._build_texel_pool); default is four 1-D
+    takes. Both are bit-identical (tests/test_uv.py); the default is
+    whichever measured faster on hardware (tools/gather_bench.py,
+    docs/PERFORMANCE.md)."""
+    if os.environ.get("PT_TEX_FETCH", "take4") == "quad":
+        return scn.tex_pool_quad_u32
+    return None
 
 
 def _fetch_object_attrs(scn: SceneArrays, oi: jnp.ndarray) -> ObjAttrs:
@@ -219,7 +232,8 @@ def _surface_normal(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
         if not cfg.trainable_textures:
             nm_rgb = sample_texture_pool(
                 scn.tex_pool_u32, at.tex_nm_base, at.tex_nm_w,
-                at.tex_nm_h, nm_u, nm_v).normalized()
+                at.tex_nm_h, nm_u, nm_v,
+                pool_quad_u32=_quad_pool(scn)).normalized()
         else:
             nm_rgb = _tex_sampler(cfg, scn, "planar")(
                 at.texture_index_nm, nm_u, nm_v).normalized()
@@ -287,7 +301,8 @@ def _surface_color(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
                 u = jnp.where(sel, uc, u)
                 v = jnp.where(sel, vc, v)
             tex_color = sample_texture_pool(
-                scn.tex_pool_u32, at.tex_base, at.tex_w, at.tex_h, u, v)
+                scn.tex_pool_u32, at.tex_base, at.tex_w, at.tex_h, u, v,
+                pool_quad_u32=_quad_pool(scn))
         else:
             # differentiable path: per-kind float atlases (texel
             # gradients flow; perf is AD-dominated anyway)

@@ -9,7 +9,7 @@ unit-test tables (tests/test_uv.py).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -113,7 +113,9 @@ def sample_texture(atlas: jnp.ndarray, layer: jnp.ndarray, u: jnp.ndarray,
 
 def sample_texture_pool(pool_u32: jnp.ndarray, base: jnp.ndarray,
                         w: jnp.ndarray, h: jnp.ndarray,
-                        u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
+                        u: jnp.ndarray, v: jnp.ndarray,
+                        pool_quad_u32: Optional[jnp.ndarray] = None
+                        ) -> Vec3:
     """Bilinear sample from the FLAT rgb8-u32 texel pool (pack.py
     _build_texel_pool) with per-ray (base, w, h) — one fetch serves every
     sampler kind, so a bounce does 4 pool taps total instead of 4 per
@@ -138,9 +140,6 @@ def sample_texture_pool(pool_u32: jnp.ndarray, base: jnp.ndarray,
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
     y1i = jnp.mod(y0i + 1, hi)
 
-    def tap(yi, xi):
-        return jnp.take(pool_u32, bi + yi * wi + xi, mode="clip")
-
     def unpack(p):
         scale = jnp.asarray(1.0 / 255.0, dt)
         return Vec3(
@@ -149,10 +148,26 @@ def sample_texture_pool(pool_u32: jnp.ndarray, base: jnp.ndarray,
             ((p >> 16) & 0xFF).astype(dt) * scale,
         )
 
-    c00 = unpack(tap(y0i, x0i))
-    c01 = unpack(tap(y0i, x1i))
-    c10 = unpack(tap(y1i, x0i))
-    c11 = unpack(tap(y1i, x1i))
+    if pool_quad_u32 is not None:
+        # ONE row gather returns the whole bilinear footprint: quad row i
+        # holds [c00, c01, c10, c11] with the texture's REPEAT wrap baked
+        # in at pack time (pack._build_texel_pool), so only the anchor
+        # index is computed here. The wrap rows ARE the x1/y1 taps, hence
+        # bit-identical to the 4-take path (tests/test_uv.py).
+        rows = jnp.take(pool_quad_u32, bi + y0i * wi + x0i, axis=0,
+                        mode="clip")
+        c00 = unpack(rows[:, 0])
+        c01 = unpack(rows[:, 1])
+        c10 = unpack(rows[:, 2])
+        c11 = unpack(rows[:, 3])
+    else:
+        def tap(yi, xi):
+            return jnp.take(pool_u32, bi + yi * wi + xi, mode="clip")
+
+        c00 = unpack(tap(y0i, x0i))
+        c01 = unpack(tap(y0i, x1i))
+        c10 = unpack(tap(y1i, x0i))
+        c11 = unpack(tap(y1i, x1i))
     top = c00 * (1.0 - tx) + c01 * tx
     bot = c10 * (1.0 - tx) + c11 * tx
     return top * (1.0 - ty) + bot * ty

@@ -214,3 +214,27 @@ def test_tile_pixel_layout_shard_granule():
     px, py, pid = tile_pixel_layout(40, 30, 8, 128, shard_granule=4,
                                     order="block")
     assert px.shape[0] % (8 * 4) == 0
+
+
+@_tpu
+def test_render_sharded_pallas_mesh_of_one(small_cfg):
+    """Distributed megakernel on a 1x1 mesh is the same estimator as the
+    single-device megakernel (parallel/render_dist.py:305). Seeds differ
+    by design (per-shard stream derivation), so parity is statistical —
+    the same policy test_megakernel_matches_wavefront_mean uses."""
+    from jax.sharding import Mesh
+    from pathtracer_tpu.parallel.render_dist import render_sharded_pallas
+
+    sc = get_scene("default", small_cfg)  # triangle group -> packet BVH
+    arrays, meta = sc.pack()
+    assert supports_scene(meta)
+    mesh = Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("pixels", "spp"))
+    img_d = render_sharded_pallas(arrays, meta, sc.camera, small_cfg, mesh)
+    img_s = render_pallas(arrays, meta, sc.camera, small_cfg)
+
+    assert img_d.shape == img_s.shape == (24, 32, 3)
+    assert np.isfinite(img_d).all() and img_d.min() >= 0.0
+    assert abs(img_d.mean() - img_s.mean()) < 0.03
+    d = np.abs(img_d - img_s).mean()
+    assert d < 0.05, f"per-pixel MAD {d} too large for matched 64 spp"

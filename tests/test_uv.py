@@ -105,7 +105,7 @@ def test_sample_texture_pool_matches_float_sampler():
     # quantize the float source exactly like the pool does, so the only
     # difference left is the fetch path itself
     imgs = [np.round(im * 255.0) / 255.0 for im in imgs]
-    pool, tables = _build_texel_pool({"planar": imgs})
+    pool, pool_quad, tables = _build_texel_pool({"planar": imgs})
 
     R = 512
     u = jnp.asarray(rng.uniform(-2, 2, R), jnp.float32)
@@ -123,3 +123,14 @@ def test_sample_texture_pool_matches_float_sampler():
         for a, b in zip((got.x, got.y, got.z), (want.x, want.y, want.z)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1.5 / 255.0)
+        # the quad-pool fetch (one row gather, wrap baked in at pack
+        # time) must be BIT-identical to the 4-take path
+        got_q = sample_texture_pool(
+            jnp.asarray(pool),
+            jnp.full(R, float(base), jnp.float32),
+            jnp.full(R, float(w), jnp.float32),
+            jnp.full(R, float(h), jnp.float32), u, v,
+            pool_quad_u32=jnp.asarray(pool_quad))
+        for a, b in zip((got_q.x, got_q.y, got_q.z),
+                        (got.x, got.y, got.z)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
