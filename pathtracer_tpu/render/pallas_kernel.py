@@ -199,6 +199,13 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
       whole packets over dead regions early-out. This is the difference
       between ~3-scanline strips that all intersect the mesh's screen
       band and square blocks most of which never touch it.
+    - "subblock" — like "block", but the slots are permuted so each
+      128-lane chunk of the tile is itself a COMPACT sub-block (e.g.
+      the 4 chunks of an (8,512) tile become the four 32x32 quadrants
+      of the 64x64 block) instead of interleaved 64-wide stripes. The
+      sub-packet leaf gating in _packet_traverse conds triangle work
+      per chunk, so chunk-compactness shrinks the unions that gating
+      acts on (primary rays especially).
     - None/"auto" — PT_TILE_ORDER env override, else "block".
 
     rows is padded to a multiple of S*shard_granule so shard_map can
@@ -211,7 +218,7 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
     tile_sz = S * L
     n_pix = W * H
 
-    if order == "block":
+    if order in ("block", "subblock"):
         side = int(math.isqrt(tile_sz))
         while tile_sz % side:
             side -= 1
@@ -221,8 +228,24 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
         k = np.arange(nbx * nby * tile_sz)
         b = k // tile_sz                  # block id
         i = k % tile_sz                   # slot within block
-        x = (b % nbx) * bw + i % bw
-        y = (b // nbx) * bh + i // bw
+        nc = L // 128 if (L % 128 == 0 and L > 128) else 1
+        if order == "subblock" and nc > 1:
+            # permute slots so lane chunk j = one compact sub-block:
+            # slot i = s*L + 128*j + m  ->  sub-block j, local p=s*128+m
+            s, l = i // L, i % L
+            j, m = l // 128, l % 128
+            p = s * 128 + m               # [0, S*128) = sub-block size
+            gx = int(math.isqrt(nc))
+            while nc % gx:
+                gx -= 1
+            gy = nc // gx                 # gx*gy sub-block grid
+            sbw, sbh = bw // gx, bh // gy # sbw*sbh == S*128 always
+            ix = (j % gx) * sbw + p % sbw
+            iy = (j // gx) * sbh + p // sbw
+        else:
+            ix, iy = i % bw, i // bw
+        x = (b % nbx) * bw + ix
+        y = (b // nbx) * bh + iy
         valid = (x < W) & (y < H)
         pid = np.where(valid, y * W + x, -1)
         xs = np.minimum(x, W - 1).astype(np.int32)

@@ -180,7 +180,7 @@ def test_tile_pixel_layout_roundtrip():
     from pathtracer_tpu.render.pallas_kernel import (tile_pixel_layout,
                                                      untile_image)
 
-    for order in ("block", "linear"):
+    for order in ("block", "linear", "subblock"):
         for (W, H, S, L) in [(33, 25, 8, 128), (64, 48, 8, 512),
                              (1280, 960, 8, 512), (17, 3, 8, 128)]:
             px, py, pid = tile_pixel_layout(W, H, S, L, order=order)
@@ -238,3 +238,20 @@ def test_render_sharded_pallas_mesh_of_one(small_cfg):
     assert abs(img_d.mean() - img_s.mean()) < 0.03
     d = np.abs(img_d - img_s).mean()
     assert d < 0.05, f"per-pixel MAD {d} too large for matched 64 spp"
+
+
+def test_subblock_chunks_are_compact():
+    """Each 128-lane chunk of a subblock-ordered tile must cover a
+    compact sub-rectangle (the point of the order: per-chunk leaf
+    gating acts on spatially small unions)."""
+    from pathtracer_tpu.render.pallas_kernel import tile_pixel_layout
+
+    S, L = 8, 512
+    px, py, pid = tile_pixel_layout(128, 128, S, L, order="subblock")
+    px = px.reshape(-1, S, L)
+    py = py.reshape(-1, S, L)
+    for j in range(L // 128):
+        cx = px[0, :, j * 128:(j + 1) * 128]
+        cy = py[0, :, j * 128:(j + 1) * 128]
+        assert cx.max() - cx.min() == 31
+        assert cy.max() - cy.min() == 31
