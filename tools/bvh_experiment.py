@@ -18,7 +18,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# This is a CPU-only simulator: hard-pin the platform. The axon TPU
+# plugin pre-sets JAX_PLATFORMS=axon at interpreter start (so setdefault
+# would keep it) and re-reads it lazily — both the env var AND
+# jax.config must be forced BEFORE any backend init, or the tool
+# silently attaches the TPU tunnel (tests/conftest.py, same workaround).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 from pathtracer_tpu.config import RenderConfig
 from pathtracer_tpu.scenes import get_scene
