@@ -228,7 +228,8 @@ def render_driver(
         # build the SMEM/VMEM tables ON DEVICE (scene arrays already live
         # there; the numpy builders would device_get each field, and tiny
         # gets over the remote tunnel cost seconds each)
-        obj_table, nodes, tris = pk.scene_tables_jnp(scn, meta)
+        obj_table, nodes, tris = pk.scene_tables_jnp(
+            scn, meta, traversal=pk.traversal_mode(meta))
 
         def segment(c0: int, n: int, k) -> Vec3:
             # independent PRNG stream per segment, derived from (seed, c0);

@@ -199,12 +199,14 @@ def make_driver_segments(
         cam_vec = pk.build_camera_vec(camera)
         if jax.process_count() > 1:
             obj = pk.build_scene_table(scn, meta)
-            nodes, tris = pk.build_mesh_tables(scn, meta)
+            nodes, tris = pk.build_mesh_tables(
+                scn, meta, traversal=pk.traversal_mode(meta))
             cam_vec, obj, nodes, tris = (
                 _put_sharded(a, rep) for a in (cam_vec, obj, nodes, tris))
         else:
             cam_vec = jnp.asarray(cam_vec)
-            obj, nodes, tris = pk.scene_tables_jnp(scn, meta)
+            obj, nodes, tris = pk.scene_tables_jnp(
+                scn, meta, traversal=pk.traversal_mode(meta))
 
         @functools.lru_cache(maxsize=None)
         def fn_for(n):
@@ -344,12 +346,14 @@ def render_sharded_pallas(
         # on real pods (local PCIe) — only the remote tunnel makes tiny
         # gets pathologically slow
         obj = pk.build_scene_table(scn, meta)
-        nodes, tris = pk.build_mesh_tables(scn, meta)
+        nodes, tris = pk.build_mesh_tables(
+            scn, meta, traversal=pk.traversal_mode(meta))
         cam_vec, obj, nodes, tris = (
             _put_sharded(a, rep) for a in (cam_vec, obj, nodes, tris))
     else:
         cam_vec = jnp.asarray(cam_vec)
-        obj, nodes, tris = pk.scene_tables_jnp(scn, meta)
+        obj, nodes, tris = pk.scene_tables_jnp(
+            scn, meta, traversal=pk.traversal_mode(meta))
 
     def body(cam_vec, obj, nodes, tris, px_s, py_s):
         # independent PRNG stream per (pixel shard, spp rank)

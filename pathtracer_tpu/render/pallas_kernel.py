@@ -104,14 +104,22 @@ def build_scene_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
     return out
 
 
-def build_mesh_tables(scn: SceneArrays, meta: SceneMeta
+def build_mesh_tables(scn: SceneArrays, meta: SceneMeta,
+                      traversal: str = "classic",
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """VMEM-resident mesh pools for packet traversal.
 
     nodes: [Nn, _NODE_COLS] f32, one skip-link BVH node per row.
     tris:  [ceil(Ns/4), 96] f32, 4 triangle slots per row (a leaf of 8
     slots spans exactly 2 rows; degenerate padding slots keep det == 0).
-    Indices are stored as f32 (pool sizes < 2^24, exact)."""
+    Indices are stored as f32 (pool sizes < 2^24, exact).
+
+    traversal="mxu" swaps the triangle table for the MXU layout
+    (build_mxu_tri_table) — pass traversal_mode(meta) from megakernel
+    call sites so the table matches the kernel that consumes it."""
+    if traversal == "mxu" and meta.has_groups:
+        nodes, _ = build_mesh_tables(scn, meta)
+        return nodes, build_mxu_tri_table(scn, meta)
     if not meta.has_groups:
         return (np.zeros((1, _NODE_COLS), dtype=np.float32),
                 np.zeros((1, _TRI_SLOTS_PER_ROW * _TRI_STRIDE),
@@ -153,6 +161,95 @@ def build_mesh_tables(scn: SceneArrays, meta: SceneMeta
         r, k = divmod(s, _TRI_SLOTS_PER_ROW)
         tris[r, k * _TRI_STRIDE:(k + 1) * _TRI_STRIDE] = flat[s]
     return nodes, tris
+
+
+def traversal_mode(meta: SceneMeta) -> str:
+    """Which packet-traversal leaf machine the megakernel uses
+    (trace-time static; table layout must match, so every megakernel
+    call site passes this to the table builders):
+
+    - "classic" — dual-basis VPU unroll with sub-packet gating
+      (_packet_traverse), the measured round-2 default.
+    - "mxu"     — leaf triangle tests as MXU matmuls
+      (_packet_traverse_mxu): one [6K,32]@[32,L] plane-dot matmul per
+      sublane row per leaf + a one-hot payload matmul. PT_TRAVERSAL=mxu;
+      mesh scenes only (primitive scenes have no triangle pool).
+    """
+    import os
+
+    if os.environ.get("PT_TRAVERSAL") == "mxu" and meta.has_groups:
+        return "mxu"
+    return "classic"
+
+
+def _mxu_plane_arrays(xp, p1, e1, e2, n1, n2, n3, color, K):
+    """Shared math for the MXU triangle tables (numpy or jnp `xp`).
+
+    Returns (a_rows [6*Ns, 8], pay_rows [16*n_leaves, 32]) where Ns is
+    the slot-pool size (= n_leaves * K; leaves own aligned contiguous
+    slot blocks — asserted by the callers).
+
+    A-row groups per leaf (contraction operand q = [o,1,d,0] per ray):
+      g0 den   =  d.Ng          g1 num_t = -(o-P1).Ng
+      g2 ou    =  (o-P1).U      g3 du    =  d.U
+      g4 ov    =  (o-P1).V      g5 dv    =  d.V
+    so the kernel computes t = num_t/den, u = ou + t*du, v = ov + t*dv
+    — the same dual-basis hit test as _packet_traverse, as matmuls.
+
+    Payload rows (per leaf, lanes = slot k): 0-2 n1, 3-5 n2-n1,
+    6-8 n3-n1, 9-11 color, 12-15 zero padding."""
+    ns = p1.shape[0]
+    nl = ns // K
+    ng = xp.cross(e1, e2)
+    l2 = (ng * ng).sum(axis=1, keepdims=True)
+    safe = xp.where(l2 > 0.0, l2, 1.0)
+    uu = xp.where(l2 > 0.0, xp.cross(e2, ng) / safe, xp.zeros_like(ng))
+    vv = xp.where(l2 > 0.0, xp.cross(ng, e1) / safe, xp.zeros_like(ng))
+    z1 = xp.zeros((ns, 1), dtype=p1.dtype)
+    z4 = xp.zeros((ns, 4), dtype=p1.dtype)
+
+    def odot(vec):  # -(o-P1).vec as [vec, +P1.vec] on q[0:4]
+        return xp.concatenate(
+            [vec, -(p1 * vec).sum(axis=1, keepdims=True), z4], axis=1)
+
+    def ddot(vec):  # d.vec on q[4:7]
+        return xp.concatenate([z4, vec, z1], axis=1)
+
+    groups = [
+        ddot(ng),                                   # g0 den
+        xp.concatenate(
+            [-ng, (p1 * ng).sum(axis=1, keepdims=True), z4], axis=1),
+        odot(uu),                                   # g2 ou
+        ddot(uu),                                   # g3 du
+        odot(vv),                                   # g4 ov
+        ddot(vv),                                   # g5 dv
+    ]
+    a = xp.stack(groups, axis=1)                    # [Ns, 6, 8]
+    a = a.reshape(nl, K, 6, 8).transpose(0, 2, 1, 3).reshape(6 * ns, 8)
+
+    pay = xp.concatenate([n1, n2 - n1, n3 - n1, color], axis=1)  # [Ns,12]
+    pay = pay.reshape(nl, K, 12).transpose(0, 2, 1)              # [nl,12,K]
+    pay = xp.concatenate(
+        [pay, xp.zeros((nl, 4, K), dtype=p1.dtype)], axis=1)     # 16 rows
+    pay = xp.concatenate(
+        [pay, xp.zeros((nl, 16, 32 - K), dtype=p1.dtype)], axis=2)
+    return a, pay.reshape(16 * nl, 32)
+
+
+def build_mxu_tri_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
+    """Single VMEM table for the MXU leaf machine: A-plane rows
+    [0, 6*Ns) padded to 32 cols, then per-leaf payload blocks
+    [6*Ns + 16*b, +16). Replaces the classic 24-stride table when
+    traversal_mode(meta) == "mxu"."""
+    K = meta.leaf_size
+    ns = int(np.asarray(scn.tri_p1).shape[0])
+    assert ns % K == 0, "slot pool must be whole leaves"
+    f = lambda a: np.asarray(a, dtype=np.float32)
+    a, pay = _mxu_plane_arrays(
+        np, f(scn.tri_p1), f(scn.tri_e1), f(scn.tri_e2), f(scn.tri_n1),
+        f(scn.tri_n2), f(scn.tri_n3), f(scn.tri_color), K)
+    a32 = np.concatenate([a, np.zeros((a.shape[0], 24), np.float32)], 1)
+    return np.concatenate([a32, pay], axis=0)
 
 
 def default_tile(meta: SceneMeta) -> Tuple[int, int]:
@@ -674,6 +771,152 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
             cr, cg, cb)
 
 
+def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
+                         root, end, tox, toy, toz, tdx, tdy, tdz,
+                         active, bt0, oct_base=None):
+    """Packet skip-link BVH walk with the leaf triangle tests on the
+    MXU (PT_TRAVERSAL=mxu; table layout build_mxu_tri_table).
+
+    The dual-basis hit test is six dot products per (triangle, ray) —
+    dense linear algebra. Per leaf visit and per sublane row s this does
+    ONE [6K,32]@[32,L] matmul against the loop-invariant coefficient
+    matrix q_s = [o,1,d,0,...] (built once per walk), giving all six
+    planes for all K triangles at once; the VPU tail runs on full
+    [K,L] slabs (t = num/den, barycentrics, validity), a sublane
+    min-reduce finds the closest hit, and payload (n1/deltas/color)
+    arrives via a one-hot [16,32]@[32,L] matmul. Exact ties average
+    their payload (the classic unroll keeps the first; both are valid
+    smooth-normal choices at a shared edge).
+
+    Same walk semantics/returns as _packet_traverse; no sub-packet
+    gating (the matmul is monolithic per sublane row)."""
+    S, L = tox.shape
+    zero_row = jnp.zeros((1, L), jnp.float32)
+    one_row = jnp.ones((1, L), jnp.float32)
+    any_pre = jnp.any(active)
+    root_e = jnp.int32(root)
+    end_e = jnp.int32(end)
+    if oct_base is not None:
+        root_e = root_e + oct_base
+        end_e = end_e + oct_base
+
+    # hoisted slab reciprocals (same semantics as _packet_traverse)
+    def inv_safe(td):
+        ok = jnp.abs(td) >= eps
+        return jnp.where(ok, 1.0 / jnp.where(ok, td, 1.0), _BIG)
+
+    inv_dx = inv_safe(tdx)
+    inv_dy = inv_safe(tdy)
+    inv_dz = inv_safe(tdz)
+
+    # loop-invariant MXU coefficient matrices: rhs[s] = [32, L] with
+    # rows [ox,oy,oz,1,dx,dy,dz,0...] for sublane row s
+    pad_rows = jnp.zeros((25, L), jnp.float32)
+    rhs = [
+        jnp.concatenate([
+            tox[s:s + 1], toy[s:s + 1], toz[s:s + 1], one_row,
+            tdx[s:s + 1], tdy[s:s + 1], tdz[s:s + 1], pad_rows,
+        ], axis=0)
+        for s in range(S)
+    ]
+    pay_base = 6 * n_slots
+    dn = (((1,), (0,)), ((), ()))
+
+    zeros = jnp.zeros((S, L), jnp.float32)
+    init = (jnp.where(any_pre, root_e, end_e), bt0,
+            zeros, zeros, zeros, zeros, zeros, zeros)
+
+    def tcond(st):
+        return st[0] < end_e
+
+    def tbody(st):
+        idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
+        node = node_ref[pl.ds(idx, 1), :]
+        ax1 = (node[0, 0] - tox) * inv_dx
+        ax2 = (node[0, 3] - tox) * inv_dx
+        ay1 = (node[0, 1] - toy) * inv_dy
+        ay2 = (node[0, 4] - toy) * inv_dy
+        az1 = (node[0, 2] - toz) * inv_dz
+        az2 = (node[0, 5] - toz) * inv_dz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax1, ax2), jnp.minimum(ay1, ay2)),
+            jnp.minimum(az1, az2))
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax1, ax2), jnp.maximum(ay1, ay2)),
+            jnp.maximum(az1, az2))
+        hitb = active & (tmin <= tmax) & (tmax > eps) & (tmin < bt)
+        anyhit = jnp.any(hitb)
+        is_leaf = node[0, 7] > 0.5
+        start = node[0, 6].astype(jnp.int32)
+        exitn = node[0, 8].astype(jnp.int32)
+
+        def leaf_fn(carry):
+            bt, gnx, gny, gnz, gcr, gcg, gcb = carry
+            arow = 6 * start
+            b = jax.lax.div(start, jnp.int32(K))
+            A = tri_ref[pl.ds(arow, 6 * K), :]                 # [6K,32]
+            P = tri_ref[pl.ds(pay_base + 16 * b, 16), :]       # [16,32]
+            rows = [[] for _ in range(7)]  # bt, nx, ny, nz, cr, cg, cb
+            for s in range(S):
+                out = jax.lax.dot_general(
+                    A, rhs[s], dn, preferred_element_type=jnp.float32)
+                den = out[0 * K:1 * K]
+                num_t = out[1 * K:2 * K]
+                ou = out[2 * K:3 * K]
+                du = out[3 * K:4 * K]
+                ov = out[4 * K:5 * K]
+                dv = out[5 * K:6 * K]
+                den_ok = jnp.abs(den) >= eps
+                f = 1.0 / jnp.where(den_ok, den, 1.0)
+                t = num_t * f
+                u = ou + t * du
+                v = ov + t * dv
+                hb_s = hitb[s:s + 1]
+                bt_s = bt[s:s + 1]
+                good = (hb_s & den_ok & (u >= 0.0) & (v >= 0.0)
+                        & (u + v <= 1.0) & (t > eps) & (t < t_max)
+                        & (t < bt_s))
+                tt = jnp.where(good, t, _BIG)
+                tmin_s = jnp.min(tt, axis=0, keepdims=True)    # [1,L]
+                hit_s = tmin_s < bt_s
+                oh = jnp.where(tt == tmin_s, 1.0, 0.0) \
+                    * good.astype(jnp.float32)                 # [K,L]
+                cnt = jnp.sum(oh, axis=0, keepdims=True)
+                inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+                ohp = oh if K == 32 else jnp.concatenate(
+                    [oh, jnp.zeros((32 - K, L), jnp.float32)], axis=0)
+                pay = jax.lax.dot_general(
+                    P, ohp, dn, preferred_element_type=jnp.float32)
+                ub = jnp.sum(oh * u, axis=0, keepdims=True) * inv_cnt
+                vb = jnp.sum(oh * v, axis=0, keepdims=True) * inv_cnt
+
+                def prow(j):
+                    return pay[j:j + 1] * inv_cnt
+
+                nx_s = prow(0) + ub * prow(3) + vb * prow(6)
+                ny_s = prow(1) + ub * prow(4) + vb * prow(7)
+                nz_s = prow(2) + ub * prow(5) + vb * prow(8)
+                vals = (jnp.where(hit_s, tmin_s, bt_s),
+                        jnp.where(hit_s, nx_s, gnx[s:s + 1]),
+                        jnp.where(hit_s, ny_s, gny[s:s + 1]),
+                        jnp.where(hit_s, nz_s, gnz[s:s + 1]),
+                        jnp.where(hit_s, prow(9), gcr[s:s + 1]),
+                        jnp.where(hit_s, prow(10), gcg[s:s + 1]),
+                        jnp.where(hit_s, prow(11), gcb[s:s + 1]))
+                for w, val in zip(rows, vals):
+                    w.append(val)
+            return tuple(jnp.concatenate(w, axis=0) for w in rows)
+
+        carry = jax.lax.cond(
+            anyhit & is_leaf, leaf_fn, lambda cr: cr,
+            (bt, gnx, gny, gnz, gcr, gcg, gcb))
+        nidx = jnp.where(anyhit, idx + 1, exitn)
+        return (nidx,) + carry
+
+    st = jax.lax.while_loop(tcond, tbody, init)
+    return st[1], st[2], st[3], st[4], st[5], st[6], st[7]
+
+
 def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                  total_samples: int, tile: Tuple[int, int]):
     """Build the tile kernel body closed over static scene structure."""
@@ -716,6 +959,11 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
         def traverse_packet(root, end, tox, toy, toz, tdx, tdy, tdz,
                             active, bt0):
             oct_base = _group_octant_base(meta, active, tdx, tdy, tdz)
+            if traversal_mode(meta) == "mxu":
+                return _packet_traverse_mxu(
+                    node_ref, tri_ref, meta.leaf_size, meta.n_tri_slots,
+                    eps, t_max, root, end, tox, toy, toz,
+                    tdx, tdy, tdz, active, bt0, oct_base=oct_base)
             return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
                                     t_max, root, end, tox, toy, toz,
                                     tdx, tdy, tdz, active, bt0,
@@ -1133,7 +1381,8 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(build_camera_vec(camera))
-    obj_table, nodes, tris = scene_tables_jnp(scn, meta)
+    obj_table, nodes, tris = scene_tables_jnp(
+        scn, meta, traversal=traversal_mode(meta))
 
     spp = cfg.samples
     r, g, b = trace_tiles(
@@ -1301,10 +1550,12 @@ def intersect_tiles(
     )(obj_table, node_table, tri_table, ox, oy, oz, dx, dy, dz)
 
 
-def scene_tables_jnp(scn: SceneArrays, meta: SceneMeta):
+def scene_tables_jnp(scn: SceneArrays, meta: SceneMeta,
+                     traversal: str = "classic"):
     """Build the SMEM/VMEM scene tables with jnp ops so they can be traced
     from inside a jitted wavefront step (the numpy builders above are for
-    host-side call sites)."""
+    host-side call sites). traversal="mxu" emits the MXU triangle-table
+    layout instead (see build_mxu_tri_table / traversal_mode)."""
     n = meta.n_objects
     f = lambda a: a.astype(jnp.float32)
     obj = jnp.concatenate([
@@ -1343,6 +1594,14 @@ def scene_tables_jnp(scn: SceneArrays, meta: SceneMeta):
     ], axis=1)                                            # [Ns, 24]
     flat = jnp.pad(flat, ((0, (-ns) % _TRI_SLOTS_PER_ROW), (0, 0)))
     tris = flat.reshape(-1, _TRI_SLOTS_PER_ROW * _TRI_STRIDE)
+    if traversal == "mxu":
+        K = meta.leaf_size
+        a, pay = _mxu_plane_arrays(
+            jnp, f(scn.tri_p1), e1, e2, f(scn.tri_n1), f(scn.tri_n2),
+            f(scn.tri_n3), f(scn.tri_color), K)
+        a32 = jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], 24), jnp.float32)], axis=1)
+        tris = jnp.concatenate([a32, pay], axis=0)
     return obj, nodes, tris
 
 

@@ -205,3 +205,67 @@ def test_octant_copy_parity():
     for oc in range(8):
         toc = run((1 + oc) * meta.n_nodes)
         np.testing.assert_allclose(toc, t0, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("scene", ["teapot", "gopher"])
+def test_mxu_traverse_matches_brute_force(scene):
+    """The MXU leaf machine (_packet_traverse_mxu + build_mxu_tri_table)
+    must return the same closest hits as the brute-force oracle — same
+    dual-basis test expressed as matmuls. Covers both leaf sizes
+    (teapot K=32, gopher K=16 -> one-hot zero-padding path)."""
+    cfg = RenderConfig(width=16, height=12, samples=1, samples_per_pass=1)
+    sc = get_scene(scene, cfg)
+    arrays, meta = sc.pack()
+    S, L = 8, 256
+    n = S * L
+    o, d = _rays_toward_mesh(arrays, n, seed=5)
+    nodes, _ = pk.build_mesh_tables(arrays, meta)
+    mxu = pk.build_mxu_tri_table(arrays, meta)
+    (_, root, end), = meta.group_bvh
+    K, ns = meta.leaf_size, meta.n_tri_slots
+
+    def kernel(node_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+               t_out, nx_out, ny_out, nz_out, cr_out, cg_out, cb_out):
+        bt0 = jnp.full((S, L), pk._BIG, jnp.float32)
+        act = jnp.ones((S, L), jnp.bool_)
+        t, nx, ny, nz, cr, cg, cb = pk._packet_traverse_mxu(
+            node_ref, tri_ref, K, ns, cfg.epsilon, cfg.t_max,
+            root, end, ox[...], oy[...], oz[...],
+            dx[...], dy[...], dz[...], act, bt0)
+        t_out[...] = t
+        nx_out[...] = nx
+        ny_out[...] = ny
+        nz_out[...] = nz
+        cr_out[...] = cr
+        cg_out[...] = cg
+        cb_out[...] = cb
+
+    rays = [jnp.asarray(x.reshape(S, L)) for x in
+            (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])]
+    f32 = jax.ShapeDtypeStruct((S, L), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_shape=[f32] * 7,
+        interpret=True,
+    )(jnp.asarray(nodes), jnp.asarray(mxu), *rays)
+    t, nx, ny, nz, cr, cg, cb = [np.asarray(x) for x in outs]
+    t = t.reshape(-1)
+
+    bt, bi = _brute_force(arrays, cfg.epsilon, o, d)
+    hit = bi >= 0
+    assert np.array_equal(t < pk._BIG, hit)
+    np.testing.assert_allclose(t[hit], bt[hit], rtol=2e-4, atol=2e-5)
+    assert hit.sum() > n // 4
+
+    nrm = np.stack([nx.reshape(-1), ny.reshape(-1),
+                    nz.reshape(-1)], 1)[hit]
+    ln = np.linalg.norm(nrm, axis=1)
+    assert (np.abs(ln - 1.0) < 0.1).mean() > 0.99
+    cols = np.stack([cr.reshape(-1), cg.reshape(-1),
+                     cb.reshape(-1)], 1)[hit]
+    pool_cols = np.asarray(arrays.tri_color, np.float32)[bi[hit]]
+    # exact-tie rays average payload; allow the rare mismatch
+    match = np.isclose(cols, pool_cols, atol=1e-5).all(axis=1)
+    assert match.mean() > 0.999
