@@ -1431,6 +1431,11 @@ def _make_intersect_kernel(meta: SceneMeta, cfg: RenderConfig,
         def traverse(root, end, tox, toy, toz, tdx, tdy, tdz, active,
                      bt0):
             oct_base = _group_octant_base(meta, active, tdx, tdy, tdz)
+            if traversal_mode(meta) == "mxu":
+                return _packet_traverse_mxu(
+                    node_ref, tri_ref, meta.leaf_size, meta.n_tri_slots,
+                    eps, t_max, root, end, tox, toy, toz,
+                    tdx, tdy, tdz, active, bt0, oct_base=oct_base)
             return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
                                     t_max, root, end, tox, toy, toz,
                                     tdx, tdy, tdz, active, bt0,
@@ -1626,7 +1631,8 @@ def intersect_batch(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
         return jnp.pad(a.astype(jnp.float32), (0, pad),
                        constant_values=fill).reshape(-1, L)
 
-    obj, nodes, tris = scene_tables_jnp(scn, meta)
+    obj, nodes, tris = scene_tables_jnp(
+        scn, meta, traversal=traversal_mode(meta))
     outs = intersect_tiles(
         obj, nodes, tris,
         tiled(origin[0], 1e6), tiled(origin[1], 1e6), tiled(origin[2], 1e6),
