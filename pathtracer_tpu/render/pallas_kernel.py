@@ -857,7 +857,11 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
             A = tri_ref[pl.ds(arow, 6 * K), :]                 # [6K,32]
             P = tri_ref[pl.ds(pay_base + 16 * b, 16), :]       # [16,32]
             rows = [[] for _ in range(7)]  # bt, nx, ny, nz, cr, cg, cb
-            for s in range(S):
+
+            def live_fn(s):
+                # per-sublane gating: under block tiling a sublane row is
+                # a compact 64x8 pixel strip, so rows whose rays all miss
+                # this leaf skip their matmul + tail entirely
                 out = jax.lax.dot_general(
                     A, rhs[s], dn, preferred_element_type=jnp.float32)
                 den = out[0 * K:1 * K]
@@ -896,13 +900,23 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
                 nx_s = prow(0) + ub * prow(3) + vb * prow(6)
                 ny_s = prow(1) + ub * prow(4) + vb * prow(7)
                 nz_s = prow(2) + ub * prow(5) + vb * prow(8)
-                vals = (jnp.where(hit_s, tmin_s, bt_s),
+                return (jnp.where(hit_s, tmin_s, bt_s),
                         jnp.where(hit_s, nx_s, gnx[s:s + 1]),
                         jnp.where(hit_s, ny_s, gny[s:s + 1]),
                         jnp.where(hit_s, nz_s, gnz[s:s + 1]),
                         jnp.where(hit_s, prow(9), gcr[s:s + 1]),
                         jnp.where(hit_s, prow(10), gcg[s:s + 1]),
                         jnp.where(hit_s, prow(11), gcb[s:s + 1]))
+
+            for s in range(S):
+                vals = jax.lax.cond(
+                    jnp.any(hitb[s]),
+                    lambda _, s=s: live_fn(s),
+                    lambda _, s=s: (bt[s:s + 1], gnx[s:s + 1],
+                                    gny[s:s + 1], gnz[s:s + 1],
+                                    gcr[s:s + 1], gcg[s:s + 1],
+                                    gcb[s:s + 1]),
+                    0)
                 for w, val in zip(rows, vals):
                     w.append(val)
             return tuple(jnp.concatenate(w, axis=0) for w in rows)
