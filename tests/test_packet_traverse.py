@@ -269,3 +269,21 @@ def test_mxu_traverse_matches_brute_force(scene):
     # exact-tie rays average payload; allow the rare mismatch
     match = np.isclose(cols, pool_cols, atol=1e-5).all(axis=1)
     assert match.mean() > 0.999
+
+
+def test_mxu_table_numpy_jnp_parity():
+    """The numpy (host, multi-process path) and jnp (on-device) MXU
+    table builders must agree — same guarantee the classic tables give
+    (build_mesh_tables vs scene_tables_jnp)."""
+    cfg = RenderConfig(width=16, height=12, samples=1, samples_per_pass=1)
+    sc = get_scene("gopher", cfg)
+    arrays, meta = sc.pack()
+    t_np = pk.build_mxu_tri_table(arrays, meta)
+    _, _, t_jnp = pk.scene_tables_jnp(arrays, meta, traversal="mxu")
+    assert t_np.shape == t_jnp.shape
+    # not bit-exact: XLA contracts the cross products / divisions with
+    # FMAs where numpy rounds each op (0.05% of elements differ by
+    # <=1.3e-4). Every process in a run uses ONE builder, so this only
+    # needs closeness, not equality.
+    np.testing.assert_allclose(np.asarray(t_jnp), t_np,
+                               rtol=2e-2, atol=2e-4)
