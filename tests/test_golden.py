@@ -82,3 +82,33 @@ def test_teapot_golden():
         "triangle pool changed — asset or BVH build drift")
     np.testing.assert_allclose(img, want, atol=2e-5,
                                err_msg=f"mean {img.mean()} vs {want.mean()}")
+
+
+@pytest.mark.parametrize("scene", ["textures", "transparency"])
+def test_scene_goldens(scene):
+    """Pinned small renders for the texture pipeline (procedural asset ->
+    pack pool -> UV -> bilinear fetch -> normal maps) and the glass /
+    mirror roulette chain (schlick, refraction, total internal
+    reflection). Regenerate with PT_WRITE_GOLDENS=1."""
+    from pathtracer_tpu.render.integrator import render
+
+    golden = os.path.join(os.path.dirname(__file__), "goldens",
+                          f"{scene}.npz")
+    cfg = RenderConfig(width=32, height=24, samples=4, samples_per_pass=4,
+                       seed=11)
+    sc = get_scene(scene, cfg)
+    arrays, meta = sc.pack()
+    img = render(arrays, meta, sc.camera, cfg)
+
+    if os.environ.get("PT_WRITE_GOLDENS") == "1":
+        os.makedirs(os.path.dirname(golden), exist_ok=True)
+        np.savez_compressed(golden, img=img)
+        pytest.skip(f"{scene} golden regenerated: mean={img.mean():.6f}")
+    if not os.path.exists(golden):
+        pytest.fail(f"no {scene} golden — regenerate with "
+                    "PT_WRITE_GOLDENS=1")
+    with np.load(golden) as z:
+        want = z["img"]
+    assert img.shape == want.shape
+    np.testing.assert_allclose(img, want, atol=2e-5,
+                               err_msg=f"mean {img.mean()} vs {want.mean()}")
