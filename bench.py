@@ -53,7 +53,8 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
-    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
+    obj, nodes, tris = pk.scene_tables_jnp(
+        arrays, meta, traversal=pk.traversal_mode(meta))
 
     def run(seed, force=False):
         r, _, _ = pk.trace_tiles(
@@ -211,6 +212,11 @@ def _extra_records(width, height):
         return {}
     if jax.devices()[0].platform != "tpu":
         return {}
+    # the remote-compile service has minutes-scale latency variance per
+    # kernel; cap total extras time so the headline JSON line always
+    # prints within the driver's budget even on a bad compile day
+    budget_s = float(os.environ.get("BENCH_EXTRA_BUDGET_S", "2700"))
+    t_start = time.time()
     out = {}
     for scene, fn, spp in (("teapot", bench_pallas, 8),
                            ("gopher", bench_pallas, 8),
@@ -218,6 +224,9 @@ def _extra_records(width, height):
                            ("reference", bench_diff, 32)):
         tag = ("fwd_bwd_reference" if fn is bench_diff
                else f"fwd_{scene}")
+        if time.time() - t_start > budget_s:
+            out[tag] = {"skipped": "extras time budget exhausted"}
+            continue
         try:
             cfg = RenderConfig(width=width, height=height, samples=2048,
                                samples_per_pass=8)

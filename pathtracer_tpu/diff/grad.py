@@ -126,7 +126,8 @@ def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(pk.build_camera_vec(camera))
-    obj, nodes, tris = pk.scene_tables_jnp(scn, meta)
+    # the grad megakernel's traversal is classic-only
+    obj, nodes, tris = pk.scene_tables_jnp(scn, meta, traversal="classic")
     render = make_diff_render(meta, cfg, spp, cfg.samples, tile)
     valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
     n_valid = float(valid.sum())

@@ -105,7 +105,7 @@ def build_scene_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
 
 
 def build_mesh_tables(scn: SceneArrays, meta: SceneMeta,
-                      traversal: str = "classic",
+                      traversal: str = None,
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """VMEM-resident mesh pools for packet traversal.
 
@@ -114,9 +114,13 @@ def build_mesh_tables(scn: SceneArrays, meta: SceneMeta,
     slots spans exactly 2 rows; degenerate padding slots keep det == 0).
     Indices are stored as f32 (pool sizes < 2^24, exact).
 
-    traversal="mxu" swaps the triangle table for the MXU layout
-    (build_mxu_tri_table) — pass traversal_mode(meta) from megakernel
-    call sites so the table matches the kernel that consumes it."""
+    traversal=None resolves to traversal_mode(meta) — the megakernel
+    consults the same helper, so tables and kernel stay consistent by
+    default. Grad paths (classic-only) pass traversal="classic"
+    explicitly. "mxu" swaps the triangle table for the MXU layout
+    (build_mxu_tri_table)."""
+    if traversal is None:
+        traversal = traversal_mode(meta)
     if traversal == "mxu" and meta.has_groups:
         nodes, _ = build_mesh_tables(scn, meta)
         return nodes, build_mxu_tri_table(scn, meta)
@@ -1570,11 +1574,14 @@ def intersect_tiles(
 
 
 def scene_tables_jnp(scn: SceneArrays, meta: SceneMeta,
-                     traversal: str = "classic"):
+                     traversal: str = None):
     """Build the SMEM/VMEM scene tables with jnp ops so they can be traced
     from inside a jitted wavefront step (the numpy builders above are for
-    host-side call sites). traversal="mxu" emits the MXU triangle-table
-    layout instead (see build_mxu_tri_table / traversal_mode)."""
+    host-side call sites). traversal=None resolves to
+    traversal_mode(meta); "mxu" emits the MXU triangle-table layout
+    (build_mxu_tri_table); grad paths pass "classic" explicitly."""
+    if traversal is None:
+        traversal = traversal_mode(meta)
     n = meta.n_objects
     f = lambda a: a.astype(jnp.float32)
     obj = jnp.concatenate([

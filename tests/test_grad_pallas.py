@@ -37,7 +37,8 @@ def _setup(samples=32):
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
-    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta,
+                                            traversal="classic")
     return cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid
 
 
