@@ -122,7 +122,7 @@ def build_mesh_tables(scn: SceneArrays, meta: SceneMeta,
     if traversal is None:
         traversal = traversal_mode(meta)
     if traversal == "mxu" and meta.has_groups:
-        nodes, _ = build_mesh_tables(scn, meta)
+        nodes, _ = build_mesh_tables(scn, meta, traversal="classic")
         return nodes, build_mxu_tri_table(scn, meta)
     if not meta.has_groups:
         return (np.zeros((1, _NODE_COLS), dtype=np.float32),
