@@ -108,9 +108,9 @@ def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
     """SGD step on (color, emission) through the DIFFERENTIABLE MEGAKERNEL
     (render/pallas_grad.py): forward = the production Pallas megakernel,
     backward = one fused replay+tape+accumulate kernel launch. ~50x the
-    wavefront AD path's throughput; covers the non-texture SceneParams
-    (object color + emission — texture/tri-color training stays on the
-    wavefront path).
+    wavefront AD path's throughput; covers object color + emission
+    (per-triangle colors: make_megakernel_step_tri; texture texels:
+    wavefront AD only).
 
     Returns (step, target_of) where step(color, emission, seed_i32,
     target_rgb) -> (new_color, new_emission, loss) is jitted, and
@@ -160,6 +160,78 @@ def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
             color, emission, seed, tr, tg, tb)
         gc, ge = grads
         return color - lr * gc, emission - lr * ge, loss
+
+    return step, target_of
+
+
+def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=8,
+                             tile=(8, 512), lr=0.05):
+    """SGD step on (color, emission, PER-TRIANGLE color) through the
+    differentiable megakernel's tri mode (pallas_grad.
+    make_diff_render_tri). The per-triangle backward tape holds one
+    entry per (ray, bounce), so each kernel launch renders ONE sample;
+    the step accumulates `n_passes` launches with distinct PRNG streams
+    (common-random-number across step invocations — same seed, same
+    estimator, the property inverse rendering needs).
+
+    Returns (step, target_of): step(color, emission, tri_color,
+    seed_i32 [2], target_rgb) -> (new_color, new_emission,
+    new_tri_color, loss), jitted. tri_color is SceneArrays.tri_color
+    shaped [n_slots, 3] (padded slots get exactly-zero gradients)."""
+    from ..render import pallas_kernel as pk
+    from ..render.pallas_grad import make_diff_render_tri
+
+    W, H = camera.width, camera.height
+    S, L = tile
+    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L)
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(camera))
+    # the grad megakernel's traversal is classic-only
+    obj, nodes, tris = pk.scene_tables_jnp(scn, meta, traversal="classic")
+    render = make_diff_render_tri(meta, cfg, n_passes, tile)
+    valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
+    n_valid = float(valid.sum())
+    inv = 1.0 / float(n_passes)
+
+    def target_of(img):
+        import numpy as np
+
+        flat = np.asarray(img, np.float32).reshape(-1, 3)
+        out = np.zeros((pid.shape[0], 3), np.float32)
+        sel = pid >= 0
+        out[sel] = flat[pid[sel]]
+        t = out.reshape(px.shape + (3,))
+        return (jnp.asarray(t[..., 0]), jnp.asarray(t[..., 1]),
+                jnp.asarray(t[..., 2]))
+
+    def loss_fn(color, emission, tri_color, seed, tr, tg, tb):
+        racc = jnp.zeros(px.shape, jnp.float32)
+        gacc = jnp.zeros(px.shape, jnp.float32)
+        bacc = jnp.zeros(px.shape, jnp.float32)
+        for i in range(n_passes):
+            # distinct PRNG stream per pass; pass index doubles as the
+            # DoF sunflower sample base
+            sd = jnp.stack([seed[0] + i * 7919, seed[1] + i])
+            r, g, b = render(color, emission, tri_color, sd, cam_vec,
+                             obj, nodes, tris, px, py)
+            racc = racc + r
+            gacc = gacc + g
+            bacc = bacc + b
+        dr = (racc * inv - tr) * valid
+        dg = (gacc * inv - tg) * valid
+        db = (bacc * inv - tb) * valid
+        return (jnp.sum(dr * dr) + jnp.sum(dg * dg)
+                + jnp.sum(db * db)) / (3.0 * n_valid)
+
+    @jax.jit
+    def step(color, emission, tri_color, seed, target):
+        tr, tg, tb = target
+        (loss, grads) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            color, emission, tri_color, seed, tr, tg, tb)
+        gc, ge, gt = grads
+        return (color - lr * gc, emission - lr * ge,
+                tri_color - lr * gt, loss)
 
     return step, target_of
 

@@ -311,12 +311,17 @@ def render_sharded_pallas(
     cfg: RenderConfig,
     mesh: Mesh,
     key: Optional[jax.Array] = None,
+    interpret: bool = False,
 ) -> np.ndarray:
     """Distributed megakernel render: each device runs the Pallas
     megakernel (render/pallas_kernel.py) on its shard of ray-tile rows;
     the 'spp' axis splits the sample budget and psum-reduces partials.
     Scene tables are replicated (SMEM/VMEM-resident per chip). Returns
-    [H, W, 3] float32."""
+    [H, W, 3] float32.
+
+    `interpret` runs the kernel in interpret mode with the software
+    PRNG — the CPU-mesh test path (tests/test_pallas.py); hardware runs
+    leave it False."""
     from ..render import pallas_kernel as pk
 
     assert pk.supports_scene(meta), "scene not supported by the megakernel"
@@ -367,7 +372,7 @@ def render_sharded_pallas(
         r, g, b = pk.trace_tiles(
             jnp.stack([seed, base]), cam_vec, obj, nodes, tris, px_s, py_s,
             meta=meta, cfg=cfg, spp=local_spp, total_samples=cfg.samples,
-            tile=(S, L),
+            tile=(S, L), interpret=interpret,
         )
         return (jax.lax.psum(r, "spp"), jax.lax.psum(g, "spp"),
                 jax.lax.psum(b, "spp"))

@@ -3,9 +3,11 @@
 The wavefront AD path (diff/grad.py + integrator.py early_exit=False) pays
 XLA gathers and HBM residuals per bounce — ~50x slower than the forward
 megakernel. This module gives the megakernel a hand-written backward pass
-for the parameters that matter for inverse rendering (object color and
-emission, the trainable subset of SceneParams minus textures/tri colors,
-which stay on the wavefront path):
+for the parameters that matter for inverse rendering: object color and
+emission (make_diff_render), plus per-triangle mesh colors via a
+per-bounce HBM tape + XLA segment-sum (make_diff_render_tri). Texture
+texels remain wavefront-AD-only (textured scenes don't ride the
+megakernel at all — docs/PERFORMANCE.md "architecture boundary"):
 
 - The estimator per sample is S = sum_b contrib_b * m_b * e_b with
   m_{b+1} = m_b * c_b * cos_b on recorded diffuse bounces and a direct
@@ -26,10 +28,14 @@ which stay on the wavefront path):
 - jax.custom_vjp glues it together: primal = the fast forward megakernel
   (render/pallas_kernel.trace_tiles), backward = one grad kernel launch.
 
-Mesh (per-triangle) hits record winning object -1, so their color
-gradients are dropped (per-triangle color training uses the wavefront
-path); everything else about the trajectory (including the triangle color
-inside T) is exact.
+Mesh (per-triangle) hits record winning object -1, so they carry no
+OBJECT-color gradient; their PER-TRIANGLE color gradients flow through
+the tri_grads tape instead (make_diff_render_tri): the traversal tracks
+the winning slot (_packet_traverse return_slot), the backward emits
+(slot, dS/dc) per (ray, bounce) to HBM, and jax.ops.segment_sum does the
+per-triangle scatter-add where the kernel can't (no per-lane scatter on
+this hardware). Everything else about the trajectory (including the
+triangle color inside T) is exact in both modes.
 """
 from __future__ import annotations
 
@@ -48,18 +54,27 @@ from ..scene.shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE
 from . import pallas_kernel as pk
 from .pallas_kernel import (_BIG, _axis_slab, _box_t, _cylinder_t, _dot,
                             _mat12_point, _mat12_vec, _normalize,
-                            _packet_traverse, _plane_t, _refract, _schlick,
-                            _sphere_t, _uniform)
+                            _packet_traverse, _plane_t, _prng_seed,
+                            _refract, _schlick, _sphere_t, _uniform)
 
 
 def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
-                      total_samples: int, tile: Tuple[int, int]):
+                      total_samples: int, tile: Tuple[int, int],
+                      tri_grads: bool = False):
     """Forward-replay + tape + backward-accumulate kernel body.
 
     The forward section mirrors pallas_kernel._make_kernel's sample_body
     EXACTLY (same PRNG draw order, same arithmetic) — any divergence
     breaks the replay; tests/test_grad_pallas.py pins fwd parity.
-    """
+
+    `tri_grads`: additionally emit a per-bounce PER-TRIANGLE gradient
+    tape to HBM — the winning global triangle slot (f32, -1 = not a
+    mesh hit) and the three per-channel color-gradient values — for the
+    XLA-side segment-sum in grad_tiles. Per-triangle accumulators can't
+    live in VMEM ([Nt,3] with Nt in the thousands and no per-lane
+    scatter on this hardware), so the scatter-add runs outside the
+    kernel; requires spp == 1 per launch (one tape slot per
+    (ray, bounce))."""
     obj_types = meta.obj_types
     group_bvh = {g: (r, e) for g, r, e in meta.group_bvh}
     leaf_rows = meta.leaf_size // pk._TRI_SLOTS_PER_ROW
@@ -74,9 +89,14 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 
     def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, px_ref,
                py_ref, cot_r_ref, cot_g_ref, cot_b_ref, gout_ref,
-               # scratch refs
-               t_win, t_cos, t_c, t_e, t_m, t_flags, g_acc):
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+               *rest):
+        if tri_grads:
+            (tslot_out, tgrad_out, t_win, t_cos, t_c, t_e, t_m,
+             t_flags, g_acc, t_wtri) = rest
+        else:
+            t_win, t_cos, t_c, t_e, t_m, t_flags, g_acc = rest
+            tslot_out = tgrad_out = t_wtri = None
+        _prng_seed(seed_ref[0], pl.program_id(0))
         sample_base = seed_ref[1]
 
         fx = px_ref[...].astype(jnp.float32)
@@ -100,16 +120,22 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
         def traverse_packet(root, end, tox, toy, toz, tdx, tdy, tdz,
                             active, bt0):
             oct_base = pk._group_octant_base(meta, active, tdx, tdy, tdz)
-            return _packet_traverse(node_ref, tri_ref, leaf_rows, eps,
-                                    t_max, root, end, tox, toy, toz,
-                                    tdx, tdy, tdz, active, bt0,
-                                    oct_base=oct_base,
-                                    uniform_color=meta.tri_uniform_color)
+            # tri mode reads true per-slot colors (no uniform elision —
+            # the differentiable colors vary even if the packed scene's
+            # are uniform) and tracks the winning slot for the tape
+            return _packet_traverse(
+                node_ref, tri_ref, leaf_rows, eps,
+                t_max, root, end, tox, toy, toz,
+                tdx, tdy, tdz, active, bt0,
+                oct_base=oct_base,
+                uniform_color=(None if tri_grads
+                               else meta.tri_uniform_color),
+                return_slot=tri_grads)
 
         def sample_body(n, carry):
             # --- rayForPixel: identical to the forward megakernel -------
-            jx = _uniform(shape)
-            jy = _uniform(shape)
+            jx = _uniform(shape, 0, n)
+            jy = _uniform(shape, 1, n)
             x_off = pixel_size * (fx + jx)
             y_off = pixel_size * (fy + jy)
             vx = half_w - x_off
@@ -153,6 +179,10 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             # stale tape flags from the previous sample must not leak
             # into the backward pass (the bounce loop can exit early)
             t_flags[...] = jnp.zeros((max_b,) + shape, jnp.float32)
+            if tri_grads:
+                # slots at bounces the loop never reaches must read -1
+                t_wtri[...] = jnp.full((max_b,) + shape, -1.0,
+                                       jnp.float32)
 
             def bounce_cond(st):
                 b = st[0]
@@ -186,6 +216,7 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 tny = jnp.zeros(shape, jnp.float32)
                 tnz = jnp.zeros(shape, jnp.float32)
                 win_f = jnp.full(shape, -1.0, jnp.float32)
+                wtri = jnp.full(shape, -1.0, jnp.float32)
 
                 for j, code in enumerate(obj_types):
                     m = [obj_ref[j, k] for k in range(12)]
@@ -214,9 +245,14 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                         pre = ((alive_i > 0) & (gtmin <= gtmax)
                                & (gtmax > eps) & (gtmin < best_t))
                         root, end = group_bvh[j]
-                        t_j, g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = \
-                            traverse_packet(root, end, tox, toy, toz,
-                                            tdx, tdy, tdz, pre, best_t)
+                        tp = traverse_packet(root, end, tox, toy, toz,
+                                             tdx, tdy, tdz, pre, best_t)
+                        if tri_grads:
+                            (t_j, g_nx, g_ny, g_nz, g_cr, g_cg, g_cb,
+                             g_sl) = tp
+                        else:
+                            t_j, g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = tp
+                            g_sl = None
                         g_tri = (g_nx, g_ny, g_nz, g_cr, g_cg, g_cb)
 
                     closer = t_j < best_t
@@ -236,6 +272,8 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                         emi_b = jnp.where(closer, obj_ref[j, 29], emi_b)
                         is_tri_f = jnp.where(closer, 0.0, is_tri_f)
                         win_f = jnp.where(closer, float(j), win_f)
+                        if tri_grads:
+                            wtri = jnp.where(closer, -1.0, wtri)
                     else:
                         g_nx, g_ny, g_nz, g_cr, g_cg, g_cb = g_tri
                         col_r = jnp.where(closer, g_cr, col_r)
@@ -248,9 +286,11 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                         tnx = jnp.where(closer, g_nx, tnx)
                         tny = jnp.where(closer, g_ny, tny)
                         tnz = jnp.where(closer, g_nz, tnz)
-                        # -1: per-triangle colors train on the wavefront
-                        # path; drop their object-color gradient
+                        # -1: mesh hits carry no OBJECT-color gradient
+                        # (their colors are per-triangle; see tri_grads)
                         win_f = jnp.where(closer, -1.0, win_f)
+                        if tri_grads:
+                            wtri = jnp.where(closer, g_sl, wtri)
                     refr = jnp.where(closer, obj_ref[j, 30], refr)
                     refl = jnp.where(closer, obj_ref[j, 31], refl)
                     w_min_y = jnp.where(closer, obj_ref[j, 32], w_min_y)
@@ -306,11 +346,12 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 ny = jnp.where(flip, -ny, ny)
                 nz = jnp.where(flip, -nz, nz)
 
-                # ---- material roulette (forward-identical) ------------
-                u_refl = _uniform(shape)
-                u_schl = _uniform(shape)
-                u1 = _uniform(shape)
-                u2 = _uniform(shape)
+                # ---- material roulette (forward-identical: SAME draw
+                # ids as _make_kernel — the replay contract) ------------
+                u_refl = _uniform(shape, 2, n, b)
+                u_schl = _uniform(shape, 3, n, b)
+                u1 = _uniform(shape, 4, n, b)
+                u2 = _uniform(shape, 5, n, b)
 
                 wx = ox + dx * t
                 wy = oy + dy * t
@@ -424,6 +465,8 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                     + upd.astype(jnp.float32) * 2.0      # mask upd: 2
                     + direct.astype(jnp.float32) * 4.0   # direct:   4
                 )[None]
+                if tri_grads:
+                    t_wtri[bsl] = jnp.where(rec, wtri, -1.0)[None]
 
                 mask_r = jnp.where(upd, mask_r * col_r * cos, mask_r)
                 mask_g = jnp.where(upd, mask_g * col_g * cos, mask_g)
@@ -492,6 +535,23 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 g_eg = jnp.where(no_d, cot_g * mg, zero)
                 g_eb = jnp.where(no_d, cot_b * mb, zero)
 
+                if tri_grads:
+                    # same dS/dc as the object branch, keyed by the
+                    # winning triangle slot; scatter-add happens in XLA
+                    # (grad_tiles) — no per-lane scatter on-core
+                    wt = t_wtri[bb]
+                    tri_upd = updf & (wt >= 0.0) & ~direct_any
+                    # bb is a static Python int (unrolled backward
+                    # loop), so these are fully static stores into the
+                    # (1, max_b[*3], S, L) output blocks
+                    tslot_out[0, bb] = wt
+                    tgrad_out[0, 3 * bb] = jnp.where(
+                        tri_upd, cot_r * cosb * mr * T_r, zero)
+                    tgrad_out[0, 3 * bb + 1] = jnp.where(
+                        tri_upd, cot_g * cosb * mg * T_g, zero)
+                    tgrad_out[0, 3 * bb + 2] = jnp.where(
+                        tri_upd, cot_b * cosb * mb * T_b, zero)
+
                 for j in range(n_obj):
                     mobj = win == float(j)
                     base = j * 6
@@ -502,13 +562,16 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                     g_acc[base + 4] += jnp.where(mobj, g_eg, zero)
                     g_acc[base + 5] += jnp.where(mobj, g_eb, zero)
 
-                cf = jnp.where(contrib, 1.0, 0.0)
+                # select, not multiply-by-flag: tape slots at bounces
+                # the loop never reached are UNINITIALIZED scratch
+                # (NaN in interpret mode, arbitrary leftovers on
+                # hardware) and 0 * NaN would poison the recurrence
                 sc_r = jnp.where(updf, cr * cosb, 1.0)
                 sc_g = jnp.where(updf, cg * cosb, 1.0)
                 sc_b = jnp.where(updf, cb * cosb, 1.0)
-                T_r = cf * er + sc_r * T_r
-                T_g = cf * eg + sc_g * T_g
-                T_b = cf * eb + sc_b * T_b
+                T_r = jnp.where(contrib, er, 0.0) + sc_r * T_r
+                T_g = jnp.where(contrib, eg, 0.0) + sc_g * T_g
+                T_b = jnp.where(contrib, eb, 0.0) + sc_b * T_b
             return carry
 
         jax.lax.fori_loop(0, spp, sample_body, jnp.int32(0))
@@ -528,7 +591,8 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("meta", "cfg", "spp", "total_samples", "tile"),
+    static_argnames=("meta", "cfg", "spp", "total_samples", "tile",
+                     "tri_grads", "interpret"),
 )
 def grad_tiles(
     seed: jnp.ndarray,          # i32 [2]: (prng seed, sample base)
@@ -546,17 +610,55 @@ def grad_tiles(
     spp: int = 1,
     total_samples: int = 1,
     tile: Tuple[int, int] = (8, 512),
+    tri_grads: bool = False,
+    interpret: bool = False,
 ):
     """Backward pass of trace_tiles w.r.t. (color, emission). Returns
-    (gcol [No, 3], gemi [No, 3]) summed over all tiles and samples."""
+    (gcol [No, 3], gemi [No, 3]) summed over all tiles and samples;
+    with `tri_grads` additionally gtri [n_slots, 3] — per-triangle
+    color gradients, scatter-added here (jax.ops.segment_sum over the
+    kernel's per-bounce slot/value tape)."""
     S, L = tile
     n_tiles = px.shape[0] // S
     n_obj = meta.n_objects
     max_b = cfg.max_bounces
-    kernel = _make_grad_kernel(meta, cfg, spp, total_samples, tile)
+    if tri_grads:
+        assert spp == 1, "tri_grads needs one sample per launch " \
+            "(per-(ray,bounce) tape); accumulate samples across calls"
+    kernel = _make_grad_kernel(meta, cfg, spp, total_samples, tile,
+                               tri_grads=tri_grads)
 
     bspec = pl.BlockSpec((S, L), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32)]
+    if tri_grads:
+        out_specs += [
+            pl.BlockSpec((1, max_b, S, L), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max_b * 3, S, L),
+                         lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_tiles, max_b, S, L), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, max_b * 3, S, L),
+                                 jnp.float32),
+        ]
+    scratch = [
+        pltpu.VMEM((max_b, S, L), jnp.float32),      # win
+        pltpu.VMEM((max_b, S, L), jnp.float32),      # cos
+        pltpu.VMEM((max_b * 3, S, L), jnp.float32),  # color tape
+        pltpu.VMEM((max_b * 3, S, L), jnp.float32),  # emission tape
+        pltpu.VMEM((max_b * 3, S, L), jnp.float32),  # mask tape
+        pltpu.VMEM((max_b, S, L), jnp.float32),      # flags
+        pltpu.VMEM((n_obj * 6, S, L), jnp.float32),  # per-obj accum
+    ]
+    if tri_grads:
+        scratch.append(pltpu.VMEM((max_b, S, L), jnp.float32))  # wtri
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -568,35 +670,49 @@ def grad_tiles(
             bspec, bspec,                            # px py
             bspec, bspec, bspec,                     # cotangents
         ],
-        out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((max_b, S, L), jnp.float32),      # win
-            pltpu.VMEM((max_b, S, L), jnp.float32),      # cos
-            pltpu.VMEM((max_b * 3, S, L), jnp.float32),  # color tape
-            pltpu.VMEM((max_b * 3, S, L), jnp.float32),  # emission tape
-            pltpu.VMEM((max_b * 3, S, L), jnp.float32),  # mask tape
-            pltpu.VMEM((max_b, S, L), jnp.float32),      # flags
-            pltpu.VMEM((n_obj * 6, S, L), jnp.float32),  # per-obj accum
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    (gt,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32)],
-    )(seed, cam_vec, obj_table, node_table, tri_table, px, py,
-      cot_r, cot_g, cot_b)
+    # interpret mode: software PRNG (same draw-id stream as the
+    # forward megakernel — see pallas_kernel._uniform)
+    prev = pk._SW_PRNG
+    pk._SW_PRNG = bool(interpret)
+    try:
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(seed, cam_vec, obj_table, node_table, tri_table, px, py,
+          cot_r, cot_g, cot_b)
+    finally:
+        pk._SW_PRNG = prev
+    gt = outs[0]
     g = gt.sum(axis=0)                       # [8, 128]
     gcol = g[0:3, :n_obj].T                  # [No, 3]
     gemi = g[3:6, :n_obj].T
-    return gcol, gemi
+    if not tri_grads:
+        return gcol, gemi
+
+    # XLA-side scatter-add of the per-(ray, bounce) triangle tape
+    tslot, tgrad = outs[1], outs[2]
+    n_slots = tri_table.shape[0] * pk._TRI_SLOTS_PER_ROW
+    idx = tslot.reshape(-1).astype(jnp.int32)
+    valid = (idx >= 0) & (idx < n_slots)
+    idx = jnp.where(valid, idx, n_slots)     # overflow bucket, dropped
+    gv = tgrad.reshape(n_tiles, max_b, 3, S, L)
+    chans = []
+    for c in range(3):
+        gc = jnp.where(valid, gv[:, :, c].reshape(-1), 0.0)
+        chans.append(jax.ops.segment_sum(
+            gc, idx, num_segments=n_slots + 1)[:n_slots])
+    return gcol, gemi, jnp.stack(chans, axis=1)
 
 
 @functools.lru_cache(maxsize=None)
 def make_diff_render(meta: SceneMeta, cfg: RenderConfig, spp: int,
-                     total_samples: int, tile: Tuple[int, int]):
+                     total_samples: int, tile: Tuple[int, int],
+                     interpret: bool = False):
     """custom_vjp megakernel render: differentiable in (color, emission).
 
     Returns fn(color [No,3], emission [No,3], seed [2] i32, cam_vec,
@@ -605,6 +721,9 @@ def make_diff_render(meta: SceneMeta, cfg: RenderConfig, spp: int,
     obj_table carries the scene geometry; its color/emission columns are
     OVERWRITTEN from the differentiable inputs.
     """
+    assert pk.traversal_mode(meta) == "classic", \
+        "differentiable megakernel replay is classic-traversal only " \
+        "(tables are classic layout); unset PT_TRAVERSAL"
     n = meta.n_objects
 
     def assemble(obj_table, color, emission):
@@ -621,7 +740,8 @@ def make_diff_render(meta: SceneMeta, cfg: RenderConfig, spp: int,
         obj = assemble(obj_table, color, emission)
         return pk.trace_tiles(
             seed, cam_vec, obj, nodes, tris, px, py, meta=meta, cfg=cfg,
-            spp=spp, total_samples=total_samples, tile=tile)
+            spp=spp, total_samples=total_samples, tile=tile,
+            interpret=interpret)
 
     def fwd(color, emission, seed, cam_vec, obj_table, nodes, tris, px,
             py):
@@ -640,12 +760,104 @@ def make_diff_render(meta: SceneMeta, cfg: RenderConfig, spp: int,
             seed, cam_vec, obj, nodes, tris, px, py,
             cot_r, cot_g, cot_b,
             meta=meta, cfg=cfg, spp=spp, total_samples=total_samples,
-            tile=tile)
+            tile=tile, interpret=interpret)
         # pad gradients back to the (possibly padded) param shapes
         gc = jnp.zeros_like(color).at[:n].set(gcol.astype(color.dtype))
         ge = jnp.zeros_like(emission).at[:n].set(
             gemi.astype(emission.dtype))
         return (gc, ge, None, None, None, None, None, None, None)
+
+    render.defvjp(fwd, bwd)
+    return render
+
+
+def _assemble_tri(tri_table: jnp.ndarray,
+                  tri_color: jnp.ndarray) -> jnp.ndarray:
+    """Overwrite the per-slot color columns (offset 21:24 of each
+    24-float slot record, build_mesh_tables layout) of a classic
+    triangle table from a differentiable [n_slots, 3] parameter."""
+    rows = tri_table.shape[0]
+    k = pk._TRI_SLOTS_PER_ROW
+    stride = pk._TRI_STRIDE
+    t3 = tri_table.reshape(rows, k, stride)
+    col = tri_color.astype(jnp.float32).reshape(rows, k, 3)
+    return jnp.concatenate([t3[:, :, :21], col], axis=2).reshape(
+        rows, k * stride)
+
+
+@functools.lru_cache(maxsize=None)
+def make_diff_render_tri(meta: SceneMeta, cfg: RenderConfig,
+                         total_samples: int, tile: Tuple[int, int],
+                         interpret: bool = False):
+    """custom_vjp megakernel render differentiable in (object color,
+    object emission, per-triangle color).
+
+    Same contract as make_diff_render plus a tri_color [n_slots, 3]
+    input (n_slots = tri-pool slots = SceneArrays.tri_color rows,
+    alignment padding included — padded slots never win a hit, so
+    their gradients are exactly zero). Fixed at ONE sample per call:
+    the backward's per-triangle tape has one entry per (ray, bounce)
+    (grad_tiles tri_grads); accumulate samples by calling in a loop
+    (scan) over seeds — gradients add through AD as usual. The tri
+    table must be in CLASSIC layout (the grad kernel's replay walks
+    _packet_traverse).
+
+    Returns fn(color [No,3], emission [No,3], tri_color [Ns,3],
+    seed [2] i32, cam_vec, obj_table, nodes, tris, px, py)
+    -> (r, g, b) per-slot radiance sums."""
+    import dataclasses
+
+    assert pk.traversal_mode(meta) == "classic", \
+        "differentiable megakernel replay is classic-traversal only " \
+        "(tables are classic layout); unset PT_TRAVERSAL"
+    n = meta.n_objects
+    # uniform-color elision must be OFF in both the primal and the
+    # replay: the differentiable colors vary even when the packed
+    # scene's are uniform
+    meta_nd = dataclasses.replace(meta, tri_uniform_color=None)
+
+    def assemble(obj_table, color, emission):
+        return jnp.concatenate([
+            obj_table[:, 0:24],
+            color[:n].astype(jnp.float32),
+            emission[:n].astype(jnp.float32),
+            obj_table[:, 30:40],
+        ], axis=1)
+
+    @jax.custom_vjp
+    def render(color, emission, tri_color, seed, cam_vec, obj_table,
+               nodes, tris, px, py):
+        obj = assemble(obj_table, color, emission)
+        tri = _assemble_tri(tris, tri_color)
+        return pk.trace_tiles(
+            seed, cam_vec, obj, nodes, tri, px, py, meta=meta_nd,
+            cfg=cfg, spp=1, total_samples=total_samples, tile=tile,
+            interpret=interpret)
+
+    def fwd(color, emission, tri_color, seed, cam_vec, obj_table,
+            nodes, tris, px, py):
+        out = render(color, emission, tri_color, seed, cam_vec,
+                     obj_table, nodes, tris, px, py)
+        res = (color, emission, tri_color, seed, cam_vec, obj_table,
+               nodes, tris, px, py)
+        return out, res
+
+    def bwd(res, cots):
+        (color, emission, tri_color, seed, cam_vec, obj_table, nodes,
+         tris, px, py) = res
+        cot_r, cot_g, cot_b = cots
+        obj = assemble(obj_table, color, emission)
+        tri = _assemble_tri(tris, tri_color)
+        gcol, gemi, gtri = grad_tiles(
+            seed, cam_vec, obj, nodes, tri, px, py,
+            cot_r, cot_g, cot_b,
+            meta=meta_nd, cfg=cfg, spp=1, total_samples=total_samples,
+            tile=tile, tri_grads=True, interpret=interpret)
+        gc = jnp.zeros_like(color).at[:n].set(gcol.astype(color.dtype))
+        ge = jnp.zeros_like(emission).at[:n].set(
+            gemi.astype(emission.dtype))
+        gt = gtri[:tri_color.shape[0]].astype(tri_color.dtype)
+        return (gc, ge, gt, None, None, None, None, None, None, None)
 
     render.defvjp(fwd, bwd)
     return render

@@ -397,15 +397,66 @@ def build_camera_vec(cam) -> np.ndarray:
     return out
 
 
-def _uniform(shape):
-    """f32 uniforms in [0,1) from the on-core PRNG.
+# --- kernel PRNG ---------------------------------------------------------
+#
+# On hardware: the on-core PRNG (pltpu.prng_seed / prng_random_bits),
+# seeded per (seed, tile) — free vector randomness with no carried state.
+# In interpret mode (CPU): those primitives have no lowering, so a
+# SOFTWARE counter-based generator stands in — each draw site passes a
+# static draw id plus its loop indices (sample n, bounce b) and the
+# value is a murmur3-style hash of (seed, tile, did, n, b, slot). This
+# keeps the megakernel, the differentiable megakernel, and
+# render_sharded_pallas fully testable on the CPU (forward and replay
+# see identical draws BY CONSTRUCTION — both name the same ids), at the
+# cost of a different — but equally uniform — stream than hardware.
+# _SW_PRNG is flipped at trace time by the pallas_call wrappers when
+# interpret=True; kernels call _prng_seed/_uniform, never pltpu.prng_*.
+_SW_PRNG = False
+_sw_key = {}
 
-    prng_random_bits returns int32 — bitcast to uint32 before the shift or
-    the arithmetic shift smears the sign bit ([-0.5, 0.5) uniforms)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # logical shift in uint32, then back to int32 for the f32 cast
-    # (Mosaic has no uint32->float32 cast; values < 2^24 are exact in i32)
-    top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+
+def _prng_seed(seed, pid):
+    """Seed the per-tile stream (hardware PRNG or the software hash)."""
+    if _SW_PRNG:
+        _sw_key["k"] = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+                        ^ pid.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+    else:
+        pltpu.prng_seed(seed, pid)
+
+
+def _uniform(shape, did=0, n=None, b=None):
+    """f32 uniforms in [0,1).
+
+    Hardware path: prng_random_bits returns int32 — bitcast to uint32
+    before the shift or the arithmetic shift smears the sign bit
+    ([-0.5, 0.5) uniforms). `did`/`n`/`b` are ignored (the hardware
+    stream advances statefully).
+
+    Software path (interpret mode): murmur3 finalizer over
+    (seed-key, draw id `did`, sample `n`, bounce `b`, element index) —
+    stateless, so the grad kernel's replay reproduces the forward's
+    draws exactly by naming the same ids."""
+    if not _SW_PRNG:
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        # logical shift in uint32, then back to int32 for the f32 cast
+        # (Mosaic has no uint32->float32 cast; values < 2^24 are exact
+        # in i32)
+        top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+        return top24.astype(jnp.float32) * _INV24
+    h = _sw_key["k"] ^ jnp.uint32((did * 0xC2B2AE3D) & 0xFFFFFFFF)
+    if n is not None:
+        h = h + n.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+    if b is not None:
+        h = h + b.astype(jnp.uint32) * jnp.uint32(0x165667B1)
+    r0 = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    r1 = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+    x = h + r0 * jnp.uint32(shape[-1]) + r1
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    top24 = (x >> jnp.uint32(8)).astype(jnp.int32)
     return top24.astype(jnp.float32) * _INV24
 
 
@@ -556,7 +607,8 @@ def _lane_chunks(x, nc):
 
 def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
                      root, end, tox, toy, toz, tdx, tdy, tdz,
-                     active, bt0, oct_base=None, uniform_color=None):
+                     active, bt0, oct_base=None, uniform_color=None,
+                     return_slot=False):
     """Packet skip-link BVH walk: ONE scalar node pointer for the whole
     ray tile (classic packet tracing on the TPU's scalar-core + VPU
     split), replacing both the reference's per-work-item stack
@@ -590,8 +642,15 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
     in the pool shares one color, the per-triangle color selects are
     statically elided and the constant is broadcast instead.
 
+    `return_slot`: additionally track the WINNING global triangle slot
+    index per ray (f32; -1.0 = no triangle hit) and append it to the
+    returns — the differentiable megakernel's per-triangle color
+    gradients key on it (pallas_grad.py). Off by default: the extra
+    per-slot select is pure overhead for rendering.
+
     Shared by the megakernel (_make_kernel) and the intersect-only kernel
-    (_make_intersect_kernel). Returns (t, nx, ny, nz, cr, cg, cb)."""
+    (_make_intersect_kernel). Returns (t, nx, ny, nz, cr, cg, cb) plus
+    slot when `return_slot`."""
     shape = tox.shape
     # vreg-aligned sub-packets: lane dim in 128-lane chunks
     nc = shape[-1] // 128 if (shape[-1] % 128 == 0 and shape[-1] > 128) \
@@ -626,10 +685,14 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
     cinv_dz = [inv_safe(d) for d in ctdz]
 
     ztuple = tuple(zero for _ in range(nc))
-    # color carries exist only when the mesh is not statically uniform
-    n_carry = 7 if uniform_color is None else 4
+    negtuple = tuple(zero - 1.0 for _ in range(nc))
+    # color carries exist only when the mesh is not statically uniform;
+    # the slot carry (last position) only when requested
+    n_base = 7 if uniform_color is None else 4
+    n_carry = n_base + (1 if return_slot else 0)
     init = (jnp.where(any_pre, root_e, end_e), tuple(cbt0)) + \
-        (ztuple,) * (n_carry - 1)
+        (ztuple,) * (n_base - 1) + \
+        ((negtuple,) if return_slot else ())
 
     def tcond(st):
         return st[0] < end_e
@@ -641,6 +704,7 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
             gcr, gcg, gcb = st[5], st[6], st[7]
         else:
             gcr = gcg = gcb = ztuple
+        gsl = st[1 + n_base] if return_slot else negtuple
         node = node_ref[pl.ds(idx, 1), :]
         hitb = []
         for j in range(nc):
@@ -676,11 +740,13 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
                     # triangle tests removed (renders WRONG; cost
                     # attribution only — docs/PERFORMANCE.md cost model)
                     return carry
+                carry = list(carry)
                 if uniform_color is None:
-                    bt, gnx, gny, gnz, gcr, gcg, gcb = carry
+                    bt, gnx, gny, gnz, gcr, gcg, gcb = carry[:7]
                 else:
-                    bt, gnx, gny, gnz = carry
+                    bt, gnx, gny, gnz = carry[:4]
                     gcr = gcg = gcb = zero
+                gsl = carry[-1] if return_slot else zero
                 tox, toy, toz = ctox[j], ctoy[j], ctoz[j]
                 tdx, tdy, tdz = ctdx[j], ctdy[j], ctdz[j]
                 hb = hitb[j]
@@ -738,9 +804,17 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
                             gcr = jnp.where(better, block[r, c + 21], gcr)
                             gcg = jnp.where(better, block[r, c + 22], gcg)
                             gcb = jnp.where(better, block[r, c + 23], gcb)
+                        if return_slot:
+                            sidf = (start + jnp.int32(
+                                r * _TRI_SLOTS_PER_ROW + s)
+                            ).astype(jnp.float32)
+                            gsl = jnp.where(better, sidf, gsl)
+                out = (bt, gnx, gny, gnz)
                 if uniform_color is None:
-                    return (bt, gnx, gny, gnz, gcr, gcg, gcb)
-                return (bt, gnx, gny, gnz)
+                    out = out + (gcr, gcg, gcb)
+                if return_slot:
+                    out = out + (gsl,)
+                return out
             return body
 
         outs = [[] for _ in range(n_carry)]
@@ -748,6 +822,8 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
             carry_j = (bt[j], gnx[j], gny[j], gnz[j])
             if uniform_color is None:
                 carry_j = carry_j + (gcr[j], gcg[j], gcb[j])
+            if return_slot:
+                carry_j = carry_j + (gsl[j],)
             cj = jax.lax.cond(
                 anyhit_c[j] & is_leaf, leaf_fn(j), lambda cr: cr, carry_j)
             for k in range(n_carry):
@@ -771,8 +847,11 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
         cr = jnp.full(shape, uniform_color[0], jnp.float32)
         cg = jnp.full(shape, uniform_color[1], jnp.float32)
         cb = jnp.full(shape, uniform_color[2], jnp.float32)
-    return (bt, cat(list(st[2])), cat(list(st[3])), cat(list(st[4])),
-            cr, cg, cb)
+    out = (bt, cat(list(st[2])), cat(list(st[3])), cat(list(st[4])),
+           cr, cg, cb)
+    if return_slot:
+        out = out + (cat(list(st[1 + n_base])),)
+    return out
 
 
 def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
@@ -951,7 +1030,7 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 
     def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, px_ref,
                py_ref, out_r, out_g, out_b):
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        _prng_seed(seed_ref[0], pl.program_id(0))
         # global sample base for segmented/sharded launches: the sunflower
         # DoF index must be n + base, not n, or every segment re-samples
         # lens points 0..spp-1 (wrong bokeh; the wavefront path threads s0
@@ -991,8 +1070,8 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
         def sample_body(n, acc):
             acc_r, acc_g, acc_b = acc
             # --- rayForPixel (tracer.cl:745-779) -----------------------
-            jx = _uniform(shape)
-            jy = _uniform(shape)
+            jx = _uniform(shape, 0, n)
+            jy = _uniform(shape, 1, n)
             x_off = pixel_size * (fx + jx)
             y_off = pixel_size * (fy + jy)
             vx = half_w - x_off
@@ -1193,10 +1272,10 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 nz = jnp.where(flip, -nz, nz)
 
                 # ---- material roulette (tracer.cl:982-1061) -----------
-                u_refl = _uniform(shape)
-                u_schl = _uniform(shape)
-                u1 = _uniform(shape)
-                u2 = _uniform(shape)
+                u_refl = _uniform(shape, 2, n, b)
+                u_schl = _uniform(shape, 3, n, b)
+                u1 = _uniform(shape, 4, n, b)
+                u2 = _uniform(shape, 5, n, b)
 
                 wx = ox + dx * t
                 wy = oy + dy * t
@@ -1379,12 +1458,21 @@ def trace_tiles(
         ],
     )
     out_shape = [jax.ShapeDtypeStruct(px.shape, jnp.float32)] * 3
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,  # CPU testing (tests/test_pallas.py)
-    )(seed, cam_vec, obj_table, node_table, tri_table, px, py)
+    # interpret mode swaps the on-core PRNG for the software hash
+    # stream (no CPU lowering for pltpu.prng_*); the flag is read at
+    # kernel-trace time, which happens inside the pallas_call call
+    global _SW_PRNG
+    prev = _SW_PRNG
+    _SW_PRNG = bool(interpret)
+    try:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,  # CPU testing (tests/test_pallas.py)
+        )(seed, cam_vec, obj_table, node_table, tri_table, px, py)
+    finally:
+        _SW_PRNG = prev
 
 
 def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,

@@ -99,6 +99,210 @@ def test_megakernel_grad_matches_finite_difference():
     assert checked == 7
 
 
+def _setup_mesh(samples=4):
+    cfg = RenderConfig(width=16, height=12, samples=samples,
+                       samples_per_pass=samples)
+    sc = get_scene("teapot", cfg)
+    arrays, meta = sc.pack()
+    from pathtracer_tpu.render import pallas_kernel as pk
+
+    S, L = TILE
+    xs, ys, pid = pk.tile_pixel_layout(cfg.width, cfg.height, S, L)
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta,
+                                           traversal="classic")
+    return cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid
+
+
+def test_tri_grad_render_traces():
+    """CPU shape-level smoke: the tri-grad custom_vjp (forward
+    megakernel + grad kernel with the per-triangle tape + segment-sum)
+    traces end-to-end under jax.eval_shape — catches kernel-body
+    Python/shape bugs without TPU hardware (abstract eval never runs
+    Mosaic)."""
+    from pathtracer_tpu.render.pallas_grad import make_diff_render_tri
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup_mesh(samples=1)
+    render = make_diff_render_tri(meta, cfg, cfg.samples, TILE)
+    seed = jnp.asarray([3, 0], jnp.int32)
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    tri_color = jnp.asarray(arrays.tri_color, jnp.float32)
+
+    def loss(c, e, tc):
+        r, g, b = render(c, e, tc, seed, cam_vec, obj, nodes, tris,
+                         px, py)
+        return jnp.sum(r) + jnp.sum(g) + jnp.sum(b)
+
+    shapes = jax.eval_shape(
+        lambda c, e, tc: jax.grad(loss, argnums=(0, 1, 2))(c, e, tc),
+        color, emission, tri_color)
+    assert shapes[0].shape == color.shape
+    assert shapes[1].shape == emission.shape
+    assert shapes[2].shape == tri_color.shape
+
+
+def test_obj_grad_fd_cpu_interpret():
+    """Central-finite-difference check of the fused grad kernel ON THE
+    CPU: interpret mode + the software PRNG (pallas_kernel._uniform's
+    hash stream) make the whole forward+replay+backward machinery
+    testable without hardware. Same common-random-number exactness
+    argument as the TPU test."""
+    from pathtracer_tpu.render.pallas_grad import make_diff_render
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup(samples=4)
+    render = make_diff_render(meta, cfg, 4, cfg.samples, TILE,
+                              interpret=True)
+    seed = jnp.asarray([3, 0], jnp.int32)
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    wr, wg, wb = (jnp.asarray(rng.random(px.shape), jnp.float32)
+                  for _ in range(3))
+
+    def loss(c, e):
+        r, g, b = render(c, e, seed, cam_vec, obj, nodes, tris, px, py)
+        return jnp.sum(r * wr) + jnp.sum(g * wg) + jnp.sum(b * wb)
+
+    gc, ge = jax.grad(loss, argnums=(0, 1))(color, emission)
+    gc = np.asarray(gc)
+    assert np.isfinite(gc).all() and np.abs(gc).max() > 0
+
+    h = 2e-3
+    for j, c in [(1, 0), (6, 2)]:
+        delta = jnp.zeros_like(color).at[j, c].set(h)
+        g_fd = float((loss(color + delta, emission)
+                      - loss(color - delta, emission)) / (2 * h))
+        g_an = float(gc[j, c])
+        scale = max(abs(g_fd), abs(g_an), 1e-3)
+        assert abs(g_fd - g_an) / scale < 5e-2, (j, c, g_fd, g_an)
+
+
+def test_tri_grad_fd_cpu_interpret():
+    """Per-triangle color gradients (slot tape + segment-sum) vs
+    central finite differences, entirely on the CPU via interpret mode
+    + the software PRNG."""
+    from pathtracer_tpu.render.pallas_grad import make_diff_render_tri
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup_mesh(samples=2)
+    render = make_diff_render_tri(meta, cfg, cfg.samples, TILE,
+                                  interpret=True)
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    tri_color = jnp.asarray(arrays.tri_color, jnp.float32)
+    seeds = [jnp.asarray([40 + i, i], jnp.int32) for i in range(2)]
+
+    rng = np.random.default_rng(2)
+    wr, wg, wb = (jnp.asarray(rng.random(px.shape), jnp.float32)
+                  for _ in range(3))
+
+    def loss(tc):
+        tot = 0.0
+        for sd in seeds:
+            r, g, b = render(color, emission, tc, sd, cam_vec, obj,
+                             nodes, tris, px, py)
+            tot = tot + jnp.sum(r * wr) + jnp.sum(g * wg) \
+                + jnp.sum(b * wb)
+        return tot
+
+    gt = np.asarray(jax.grad(loss)(tri_color))
+    assert np.isfinite(gt).all()
+    assert np.abs(gt).max() > 0, "no triangle gradient at all"
+
+    flat = np.abs(gt).ravel()
+    picks = np.argsort(flat)[-2:]
+    h = 2e-3
+    for p in picks:
+        s, c = divmod(int(p), 3)
+        delta = jnp.zeros_like(tri_color).at[s, c].set(h)
+        g_fd = float((loss(tri_color + delta)
+                      - loss(tri_color - delta)) / (2 * h))
+        g_an = float(gt[s, c])
+        scale = max(abs(g_fd), abs(g_an), 1e-3)
+        assert abs(g_fd - g_an) / scale < 5e-2, (s, c, g_fd, g_an)
+
+
+def test_tri_step_traces():
+    """CPU shape-level smoke for the full tri training step (fwd+bwd
+    kernels x n_passes + segment-sum + SGD update)."""
+    from pathtracer_tpu.diff.grad import make_megakernel_step_tri
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup_mesh(samples=2)
+    step, target_of = make_megakernel_step_tri(
+        arrays, meta, cfg, sc.camera, n_passes=2, tile=TILE)
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    tri_color = jnp.asarray(arrays.tri_color, jnp.float32)
+    target = target_of(np.zeros((cfg.height, cfg.width, 3), np.float32))
+    seed = jnp.asarray([11, 0], jnp.int32)
+    shapes = jax.eval_shape(step, color, emission, tri_color, seed,
+                            target)
+    assert shapes[0].shape == color.shape
+    assert shapes[2].shape == tri_color.shape
+    assert shapes[3].shape == ()
+
+
+@_tpu
+def test_tri_grad_matches_finite_difference():
+    """Per-triangle color gradients from the megakernel tape vs central
+    finite differences with common random numbers (the estimator is
+    multilinear in any single slot's color to the path orders that
+    matter, so central differences are f32-rounding exact)."""
+    from pathtracer_tpu.render.pallas_grad import make_diff_render_tri
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup_mesh(samples=4)
+    render = make_diff_render_tri(meta, cfg, cfg.samples, TILE)
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    tri_color = jnp.asarray(arrays.tri_color, jnp.float32)
+    seeds = [jnp.asarray([40 + i, i], jnp.int32) for i in range(4)]
+
+    rng = np.random.default_rng(2)
+    wr, wg, wb = (jnp.asarray(rng.random(px.shape), jnp.float32)
+                  for _ in range(3))
+
+    def loss(c, e, tc):
+        tot = 0.0
+        for sd in seeds:
+            r, g, b = render(c, e, tc, sd, cam_vec, obj, nodes, tris,
+                             px, py)
+            tot = tot + jnp.sum(r * wr) + jnp.sum(g * wg) \
+                + jnp.sum(b * wb)
+        return tot
+
+    gc, ge, gt = jax.grad(loss, argnums=(0, 1, 2))(
+        color, emission, tri_color)
+    gt = np.asarray(gt)
+    assert np.isfinite(gt).all()
+    assert np.abs(gt).max() > 0, "no triangle gradient at all"
+
+    # object-side grads must stay alive too (regression vs the tri tape)
+    assert np.abs(np.asarray(gc)).max() > 0
+    assert np.abs(np.asarray(ge)).max() > 0
+
+    # FD on the 3 biggest tri-color components
+    flat = np.abs(gt).ravel()
+    picks = np.argsort(flat)[-3:]
+    h = 2e-3
+    for p in picks:
+        s, c = divmod(int(p), 3)
+        delta = jnp.zeros_like(tri_color).at[s, c].set(h)
+        lp = loss(color, emission, tri_color + delta)
+        lm = loss(color, emission, tri_color - delta)
+        g_fd = float((lp - lm) / (2 * h))
+        g_an = float(gt[s, c])
+        scale = max(abs(g_fd), abs(g_an), 1e-3)
+        assert abs(g_fd - g_an) / scale < 5e-2, (s, c, g_fd, g_an)
+
+
 @_tpu
 def test_megakernel_grad_agrees_with_wavefront_ad():
     """Two independent estimators of the same expected gradient must

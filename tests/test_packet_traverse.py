@@ -36,37 +36,32 @@ def _teapot():
 
 
 def _traverse_interpret(meta, cfg, nodes, tris, rays, tile,
-                        uniform_color=None):
+                        uniform_color=None, return_slot=False):
     """One interpret-mode pallas_call around _packet_traverse."""
     S, L = tile
     leaf_rows = meta.leaf_size // pk._TRI_SLOTS_PER_ROW
     # walk copy 0 (original DFS order) of the single group's BVH
     (_, root, end), = meta.group_bvh
+    n_out = 8 if return_slot else 7
 
-    def kernel(node_ref, tri_ref, ox, oy, oz, dx, dy, dz,
-               t_out, nx_out, ny_out, nz_out, cr_out, cg_out, cb_out):
+    def kernel(node_ref, tri_ref, ox, oy, oz, dx, dy, dz, *outs):
         bt0 = jnp.full((S, L), pk._BIG, jnp.float32)
         act = jnp.ones((S, L), jnp.bool_)
-        t, nx, ny, nz, cr, cg, cb = pk._packet_traverse(
+        res = pk._packet_traverse(
             node_ref, tri_ref, leaf_rows, cfg.epsilon, cfg.t_max,
             root, end, ox[...], oy[...], oz[...],
             dx[...], dy[...], dz[...], act, bt0,
-            uniform_color=uniform_color)
-        t_out[...] = t
-        nx_out[...] = nx
-        ny_out[...] = ny
-        nz_out[...] = nz
-        cr_out[...] = cr
-        cg_out[...] = cg
-        cb_out[...] = cb
+            uniform_color=uniform_color, return_slot=return_slot)
+        for ref, val in zip(outs, res):
+            ref[...] = val
 
     f32 = jax.ShapeDtypeStruct((S, L), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_shape=[f32] * 7,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[f32] * n_out,
         interpret=True,
     )(jnp.asarray(nodes), jnp.asarray(tris), *rays)
     return [np.asarray(o) for o in outs]
@@ -144,6 +139,49 @@ def test_packet_traverse_matches_brute_force(tile):
                      cb.reshape(-1)], 1)[hit]
     pool_cols = np.asarray(arrays.tri_color, np.float32)[bi[hit]]
     np.testing.assert_allclose(cols, pool_cols, atol=1e-6)
+
+
+def test_packet_traverse_slot_tracking():
+    """return_slot reports the winning global triangle slot: validated
+    against the brute-force oracle's argmin index (ties — rays whose
+    two closest triangles are ULP-level equal — are accepted when the
+    reported slot's own Möller–Trumbore t equals the oracle's best t).
+    The tri-grad tape (pallas_grad tri_grads) keys on this value."""
+    cfg, arrays, meta = _teapot()
+    S, L = 8, 512
+    o, d = _rays_toward_mesh(arrays, S * L, seed=5)
+    nodes, tris = pk.build_mesh_tables(arrays, meta)
+    rays = [jnp.asarray(x.reshape(S, L)) for x in
+            (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])]
+    # per-slot colors read (uniform elision off), slot tracked — the
+    # exact configuration the differentiable kernel runs
+    t, nx, ny, nz, cr, cg, cb, sl = _traverse_interpret(
+        meta, cfg, nodes, tris, rays, (S, L),
+        uniform_color=None, return_slot=True)
+    t = t.reshape(-1)
+    sl = sl.reshape(-1).astype(np.int64)
+
+    bt, bi = _brute_force(arrays, cfg.epsilon, o, d)
+    hit = bi >= 0
+    assert np.array_equal(sl >= 0, hit)
+    exact = sl[hit] == bi[hit]
+    assert exact.mean() > 0.95
+
+    # non-exact slots must still be genuine closest hits (ties): the
+    # reported slot's own triangle yields the oracle's best t
+    if (~exact).any():
+        p1 = np.asarray(arrays.tri_p1, np.float32)
+        e1 = np.asarray(arrays.tri_e1, np.float32)
+        e2 = np.asarray(arrays.tri_e2, np.float32)
+        idx = np.flatnonzero(hit)[~exact]
+        for i in idx:
+            s = sl[i]
+            dxe2 = np.cross(d[i], e2[s])
+            det = dxe2 @ e1[s]
+            q = np.cross(o[i] - p1[s], e1[s])
+            t_s = (q @ e2[s]) / det
+            assert abs(t_s - bt[i]) <= 2e-4 * max(abs(bt[i]), 1.0), (
+                i, s, bi[i], t_s, bt[i])
 
 
 def test_uniform_color_detection():

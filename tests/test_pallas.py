@@ -14,10 +14,13 @@ from pathtracer_tpu.config import RenderConfig
 from pathtracer_tpu.render.pallas_kernel import render_pallas, supports_scene
 from pathtracer_tpu.scenes import get_scene
 
-# The kernel's on-core PRNG (pltpu.prng_*) has no CPU lowering and the
-# TPU-interpret path hangs on the CPU backend, so the render-parity tests
-# only run when a real TPU is visible (the CI conftest pins JAX to CPU;
-# run `python -m pytest tests/test_pallas.py` without it on a TPU host).
+# The kernel's on-core PRNG (pltpu.prng_*) has no CPU lowering, so the
+# full-fidelity render-parity tests only run when a real TPU is visible
+# (the CI conftest pins JAX to CPU; run `python -m pytest
+# tests/test_pallas.py` without it on a TPU host). Since round 2b,
+# interpret=True swaps in a software hash PRNG
+# (pallas_kernel._uniform), so the *_cpu_interpret tests below cover
+# the same estimators on the CPU in every run.
 _tpu = pytest.mark.skipif(
     jax.devices()[0].platform != "tpu", reason="needs a TPU device"
 )
@@ -238,6 +241,56 @@ def test_render_sharded_pallas_mesh_of_one(small_cfg):
     assert abs(img_d.mean() - img_s.mean()) < 0.03
     d = np.abs(img_d - img_s).mean()
     assert d < 0.05, f"per-pixel MAD {d} too large for matched 64 spp"
+
+
+def test_megakernel_matches_wavefront_mean_cpu_interpret():
+    """Megakernel (interpret mode + software PRNG) vs the wavefront
+    integrator on the CPU: independent estimators of the same integral.
+    The CPU twin of the TPU-gated parity test above — runs in every
+    suite invocation."""
+    from pathtracer_tpu.render.integrator import render
+
+    cfg = RenderConfig(width=32, height=24, samples=32,
+                       samples_per_pass=32)
+    sc = get_scene("reference", cfg)
+    arrays, meta = sc.pack()
+    img_p = render_pallas(arrays, meta, sc.camera, cfg, tile=(8, 128),
+                          interpret=True)
+    img_w = render(arrays, meta, sc.camera, cfg)
+
+    assert np.isfinite(img_p).all()
+    assert img_p.min() >= 0.0
+    assert abs(img_p.mean() - img_w.mean()) < 0.04
+    assert np.abs(img_p - img_w).mean() < 0.2
+
+
+def test_render_sharded_pallas_cpu_mesh(small_cfg):
+    """Distributed megakernel on a REAL multi-device (virtual CPU) mesh
+    in interpret mode: the 2x2 ('pixels','spp') shard_map must be the
+    same estimator as the single-device megakernel. This is the
+    CPU-mesh coverage for render_sharded_pallas (the TPU-gated variant
+    above only exercises a 1x1 mesh)."""
+    from jax.sharding import Mesh
+    from pathtracer_tpu.parallel.render_dist import render_sharded_pallas
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = RenderConfig(width=32, height=24, samples=32,
+                       samples_per_pass=32)
+    sc = get_scene("default", cfg)  # triangle group -> packet BVH
+    arrays, meta = sc.pack()
+    assert supports_scene(meta)
+    mesh = Mesh(
+        np.array(jax.devices()[:4]).reshape(2, 2), ("pixels", "spp"))
+    img_d = render_sharded_pallas(arrays, meta, sc.camera, cfg, mesh,
+                                  interpret=True)
+    img_s = render_pallas(arrays, meta, sc.camera, cfg, interpret=True)
+
+    assert img_d.shape == img_s.shape == (24, 32, 3)
+    assert np.isfinite(img_d).all() and img_d.min() >= 0.0
+    assert abs(img_d.mean() - img_s.mean()) < 0.04
+    d = np.abs(img_d - img_s).mean()
+    assert d < 0.2, f"per-pixel MAD {d} too large for matched 32 spp"
 
 
 def test_subblock_chunks_are_compact():
