@@ -104,7 +104,7 @@ def train_step(params, scn, meta, cfg, cam, px, py, key, n_samples,
 
 
 def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
-                         lr=0.05):
+                         lr=0.05, interpret=False):
     """SGD step on (color, emission) through the DIFFERENTIABLE MEGAKERNEL
     (render/pallas_grad.py): forward = the production Pallas megakernel,
     backward = one fused replay+tape+accumulate kernel launch. ~50x the
@@ -128,7 +128,8 @@ def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
     cam_vec = jnp.asarray(pk.build_camera_vec(camera))
     # the grad megakernel's traversal is classic-only
     obj, nodes, tris = pk.scene_tables_jnp(scn, meta, traversal="classic")
-    render = make_diff_render(meta, cfg, spp, cfg.samples, tile)
+    render = make_diff_render(meta, cfg, spp, cfg.samples, tile,
+                              interpret=interpret)
     valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
     n_valid = float(valid.sum())
     inv_spp = 1.0 / float(spp)
@@ -165,7 +166,7 @@ def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
 
 
 def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=8,
-                             tile=(8, 512), lr=0.05):
+                             tile=(8, 512), lr=0.05, interpret=False):
     """SGD step on (color, emission, PER-TRIANGLE color) through the
     differentiable megakernel's tri mode (pallas_grad.
     make_diff_render_tri). The per-triangle backward tape holds one
@@ -189,7 +190,8 @@ def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=8,
     cam_vec = jnp.asarray(pk.build_camera_vec(camera))
     # the grad megakernel's traversal is classic-only
     obj, nodes, tris = pk.scene_tables_jnp(scn, meta, traversal="classic")
-    render = make_diff_render_tri(meta, cfg, n_passes, tile)
+    render = make_diff_render_tri(meta, cfg, n_passes, tile,
+                                  interpret=interpret)
     valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
     n_valid = float(valid.sum())
     inv = 1.0 / float(n_passes)

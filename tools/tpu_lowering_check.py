@@ -1,0 +1,90 @@
+"""Lower the Pallas megakernel for the TPU platform WITHOUT hardware.
+
+``jax.export`` performs platform-targeted lowering, which for pallas_call
+includes the Pallas->Mosaic MLIR lowering where most "unsupported on TPU"
+rejections surface (bool vector selects, missing casts, unsupported
+gathers, bad dot shapes). Running this on CPU therefore smoke-tests a new
+traversal/kernel variant's TPU-compilability before burning tunnel time —
+it cannot catch Mosaic's own register-allocation/layout failures (those
+happen inside XLA), but it catches the lowering class that bit round 1.
+
+Usage:  python tools/tpu_lowering_check.py [scene ...]
+  PT_TRAVERSAL=mxu python tools/tpu_lowering_check.py teapot
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # never touch the tunnel
+
+import jax.numpy as jnp  # noqa: E402
+
+from pathtracer_tpu.config import RenderConfig  # noqa: E402
+from pathtracer_tpu.render import pallas_kernel as pk  # noqa: E402
+from pathtracer_tpu.scenes import get_scene  # noqa: E402
+
+
+def check(scene: str) -> bool:
+    cfg = RenderConfig(width=64, height=48, samples=8, samples_per_pass=8)
+    sc = get_scene(scene, cfg)
+    arrays, meta = sc.pack()
+    if not pk.supports_scene(meta):
+        print(f"[{scene}] SKIP: megakernel does not cover this scene")
+        return True
+    S, L = pk.default_tile(meta)
+    xs, ys, _pid = pk.tile_pixel_layout(cfg.width, cfg.height, S, L,
+                                        order=pk.default_order(meta))
+    obj, nodes, tris = pk.scene_tables_jnp(
+        arrays, meta, traversal=pk.traversal_mode(meta))
+    cam = jnp.asarray(pk.build_camera_vec(sc.camera))
+
+    def fn(seed, cam, obj, nodes, tris, px, py):
+        r, g, b = pk.trace_tiles(seed, cam, obj, nodes, tris, px, py,
+                                 meta=meta, cfg=cfg, spp=8,
+                                 total_samples=cfg.samples, tile=(S, L))
+        return r + g + b
+
+    args = (jnp.asarray([0, 0], jnp.int32), cam, obj, nodes, tris,
+            jnp.asarray(xs), jnp.asarray(ys))
+    mode = pk.traversal_mode(meta)
+    ok = True
+    try:
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        n = len(exp.mlir_module())
+        print(f"[{scene}] trace_tiles traversal={mode} tile=({S},{L}) "
+              f"TPU lowering OK ({n} bytes of StableHLO)")
+    except Exception as e:  # noqa: BLE001 — report and continue
+        msg = str(e).splitlines()[0][:300]
+        print(f"[{scene}] trace_tiles traversal={mode} TPU lowering "
+              f"FAILED: {type(e).__name__}: {msg}")
+        ok = False
+
+    # the intersect-only kernel (wavefront path's BVH walk) shares the
+    # traversal machinery but has its own pallas_call + outputs
+    def ifn(obj, nodes, tris, *rays):
+        outs = pk.intersect_tiles(obj, nodes, tris, *rays,
+                                  meta=meta, cfg=cfg, tile=(S, L))
+        return outs[0]
+
+    z = jnp.zeros((S * 2, L), jnp.float32)
+    try:
+        exp = jax.export.export(jax.jit(ifn), platforms=["tpu"])(
+            obj, nodes, tris, z, z, z, z, z, z)
+        n = len(exp.mlir_module())
+        print(f"[{scene}] intersect_tiles traversal={mode} "
+              f"TPU lowering OK ({n} bytes of StableHLO)")
+    except Exception as e:  # noqa: BLE001 — report and continue
+        msg = str(e).splitlines()[0][:300]
+        print(f"[{scene}] intersect_tiles traversal={mode} TPU lowering "
+              f"FAILED: {type(e).__name__}: {msg}")
+        ok = False
+    return ok
+
+
+if __name__ == "__main__":
+    scenes = sys.argv[1:] or ["reference", "teapot", "gopher"]
+    ok = all([check(s) for s in scenes])
+    sys.exit(0 if ok else 1)
