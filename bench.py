@@ -189,10 +189,16 @@ def bench_wavefront(cfg, sc, arrays, meta, spp):
 def _measure(fn, cfg, sc, arrays, meta, spp):
     try:
         samples, dt = fn(cfg, sc, arrays, meta, spp)
-    except Exception:
+    except Exception as e:
         # the remote-TPU tunnel stays wedged for a couple of minutes after
         # any crash (including one from a PREVIOUS process); one patient
-        # retry distinguishes a wedged device from a real failure
+        # retry distinguishes a wedged device from a real failure — but
+        # only for device/tunnel errors: a deterministic failure (bad env,
+        # scene bug) must not burn 150 s per record of the extras budget
+        from pathtracer_tpu.driver import _is_recoverable
+
+        if not _is_recoverable(e):
+            raise
         time.sleep(150)
         samples, dt = fn(cfg, sc, arrays, meta, spp)
     return samples / dt / 1e6

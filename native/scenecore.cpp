@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <memory>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -143,7 +144,11 @@ static size_t resolve_index(long idx, size_t size) {
 Obj *parse_obj_impl(const char *text, const char *mtl_names,
                     const double *mtl_colors, const double *mtl_refr,
                     int n_mtl, int compute_normals) {
-  auto *obj = new Obj();
+  // unique_ptr: if anything below throws (bad_alloc on a pathological
+  // asset, substr edge cases), sc_parse_obj's catch-all must not leak
+  // the partially built Obj and its vectors
+  auto owned = std::make_unique<Obj>();
+  Obj *obj = owned.get();
   std::unordered_map<std::string, int> mtl_index;
   {
     const char *p = mtl_names;
@@ -282,7 +287,7 @@ Obj *parse_obj_impl(const char *text, const char *mtl_names,
       t.n3 = normalized(acc[key_of(t.p3)]);
     }
   }
-  return obj;
+  return owned.release();
 }
 
 // --------------------------------------------------------------------

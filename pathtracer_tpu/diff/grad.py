@@ -103,6 +103,24 @@ def train_step(params, scn, meta, cfg, cam, px, py, key, n_samples,
     return new_params, loss
 
 
+
+def _make_target_of(pid, tile_shape):
+    """Map an [H, W, 3] target image into the step's tiled (r, g, b)
+    layout (pid: tile-slot -> flat pixel index, -1 = padding)."""
+    def target_of(img):
+        import numpy as np
+
+        flat = np.asarray(img, np.float32).reshape(-1, 3)
+        out = np.zeros((pid.shape[0], 3), np.float32)
+        sel = pid >= 0
+        out[sel] = flat[pid[sel]]
+        t = out.reshape(tile_shape + (3,))
+        return (jnp.asarray(t[..., 0]), jnp.asarray(t[..., 1]),
+                jnp.asarray(t[..., 2]))
+
+    return target_of
+
+
 def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
                          lr=0.05, interpret=False):
     """SGD step on (color, emission) through the DIFFERENTIABLE MEGAKERNEL
@@ -122,7 +140,8 @@ def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
 
     W, H = camera.width, camera.height
     S, L = tile
-    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L)
+    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
+                                       order=pk.default_order(meta))
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(pk.build_camera_vec(camera))
@@ -134,16 +153,7 @@ def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
     n_valid = float(valid.sum())
     inv_spp = 1.0 / float(spp)
 
-    def target_of(img):
-        import numpy as np
-
-        flat = np.asarray(img, np.float32).reshape(-1, 3)
-        out = np.zeros((pid.shape[0], 3), np.float32)
-        sel = pid >= 0
-        out[sel] = flat[pid[sel]]
-        t = out.reshape(px.shape + (3,))
-        return (jnp.asarray(t[..., 0]), jnp.asarray(t[..., 1]),
-                jnp.asarray(t[..., 2]))
+    target_of = _make_target_of(pid, px.shape)
 
     def loss_fn(color, emission, seed, tr, tg, tb):
         r, g, b = render(color, emission, seed, cam_vec, obj, nodes,
@@ -184,7 +194,8 @@ def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=8,
 
     W, H = camera.width, camera.height
     S, L = tile
-    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L)
+    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
+                                       order=pk.default_order(meta))
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(pk.build_camera_vec(camera))
@@ -196,16 +207,7 @@ def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=8,
     n_valid = float(valid.sum())
     inv = 1.0 / float(n_passes)
 
-    def target_of(img):
-        import numpy as np
-
-        flat = np.asarray(img, np.float32).reshape(-1, 3)
-        out = np.zeros((pid.shape[0], 3), np.float32)
-        sel = pid >= 0
-        out[sel] = flat[pid[sel]]
-        t = out.reshape(px.shape + (3,))
-        return (jnp.asarray(t[..., 0]), jnp.asarray(t[..., 1]),
-                jnp.asarray(t[..., 2]))
+    target_of = _make_target_of(pid, px.shape)
 
     def loss_fn(color, emission, tri_color, seed, tr, tg, tb):
         racc = jnp.zeros(px.shape, jnp.float32)

@@ -77,7 +77,7 @@ class RenderStats:
 
 def _checkpoint_save(path: str, accum: np.ndarray, chunks_done: int,
                      cfg: RenderConfig, backend: str,
-                     checkpoint_every: int) -> None:
+                     checkpoint_every: int, layout: str) -> None:
     tmp = path + ".tmp.npz"
     np.savez(tmp,
              accum=accum, chunks_done=chunks_done,
@@ -91,12 +91,17 @@ def _checkpoint_save(path: str, accum: np.ndarray, chunks_done: int,
                  # must match them for bit-exact continuation
                  "backend": backend,
                  "checkpoint_every": checkpoint_every,
+                 # the accum's slot->pixel mapping: two layouts can have
+                 # the SAME slot count (block vs linear tiles at zero
+                 # padding), so resuming across layouts would silently
+                 # pixel-permute the image — reject on mismatch instead
+                 "layout": layout,
              }))
     os.replace(tmp, path)
 
 
 def _checkpoint_load(path: str, cfg: RenderConfig, backend: str,
-                     checkpoint_every: int):
+                     checkpoint_every: int, layout: str):
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
         want = {
@@ -106,6 +111,7 @@ def _checkpoint_load(path: str, cfg: RenderConfig, backend: str,
             "seed": cfg.seed,
             "backend": backend,
             "checkpoint_every": checkpoint_every,
+            "layout": layout,
         }
         for k, v in want.items():
             if meta.get(k, v) != v:
@@ -169,6 +175,12 @@ def render_driver(
             and pk.supports_scene(meta))
     )
     backend_name = "pallas" if use_pallas else "wavefront"
+    # slot->pixel layout identity for checkpoint validation (the pallas
+    # paths tile and reorder pixels; see _checkpoint_save)
+    layout_tag = (
+        "tile%dx%d:%s" % (*pk.default_tile(meta), pk.default_order(meta))
+        if use_pallas else "linear"
+    )
     spp_axis = 1
     finalize = None
     padded_pixels = H * W
@@ -292,9 +304,12 @@ def render_driver(
     start_chunk = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         accum, start_chunk = _checkpoint_load(
-            checkpoint_path, cfg, backend_name, checkpoint_every)
-        assert accum.shape[0] == padded_pixels, (
-            "checkpoint pixel layout mismatch")
+            checkpoint_path, cfg, backend_name, checkpoint_every,
+            layout_tag)
+        if accum.shape[0] != padded_pixels:
+            raise ValueError(
+                f"checkpoint {checkpoint_path} has {accum.shape[0]} pixel "
+                f"slots, current layout has {padded_pixels}")
         log.info("resumed from %s at chunk %d/%d",
                  checkpoint_path, start_chunk, n_chunks)
 
@@ -359,7 +374,8 @@ def render_driver(
             t_flush = time.perf_counter()
             if save_ck and checkpoint_path:
                 _checkpoint_save(checkpoint_path, accum, c, cfg,
-                                 backend_name, checkpoint_every)
+                                 backend_name, checkpoint_every,
+                                 layout_tag)
 
         while c < n_chunks:
             n = min(seg_len, n_chunks - c)

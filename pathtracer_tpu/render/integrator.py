@@ -128,6 +128,10 @@ def _quad_pool(scn: SceneArrays):
     whichever measured faster on hardware (tools/gather_bench.py,
     docs/PERFORMANCE.md)."""
     if os.environ.get("PT_TEX_FETCH", "take4") == "quad":
+        if scn.tex_pool_quad_u32.shape[0] != scn.tex_pool_u32.shape[0]:
+            # scene was packed without the quad pool (PT_TEX_FETCH was
+            # take4 at pack time) — fall back rather than fetch zeros
+            return None
         return scn.tex_pool_quad_u32
     return None
 

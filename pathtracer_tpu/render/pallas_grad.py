@@ -725,14 +725,7 @@ def make_diff_render(meta: SceneMeta, cfg: RenderConfig, spp: int,
         "differentiable megakernel replay is classic-traversal only " \
         "(tables are classic layout); unset PT_TRAVERSAL"
     n = meta.n_objects
-
-    def assemble(obj_table, color, emission):
-        return jnp.concatenate([
-            obj_table[:, 0:24],
-            color[:n].astype(jnp.float32),
-            emission[:n].astype(jnp.float32),
-            obj_table[:, 30:40],
-        ], axis=1)
+    assemble = functools.partial(_assemble_obj, n=n)
 
     @jax.custom_vjp
     def render(color, emission, seed, cam_vec, obj_table, nodes, tris,
@@ -769,6 +762,18 @@ def make_diff_render(meta: SceneMeta, cfg: RenderConfig, spp: int,
 
     render.defvjp(fwd, bwd)
     return render
+
+
+def _assemble_obj(obj_table: jnp.ndarray, color: jnp.ndarray,
+                  emission: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Overwrite the object table's color/emission columns (24:30 of the
+    build_scene_table layout) from the differentiable [>=n, 3] params."""
+    return jnp.concatenate([
+        obj_table[:, 0:24],
+        color[:n].astype(jnp.float32),
+        emission[:n].astype(jnp.float32),
+        obj_table[:, 30:40],
+    ], axis=1)
 
 
 def _assemble_tri(tri_table: jnp.ndarray,
@@ -815,14 +820,7 @@ def make_diff_render_tri(meta: SceneMeta, cfg: RenderConfig,
     # replay: the differentiable colors vary even when the packed
     # scene's are uniform
     meta_nd = dataclasses.replace(meta, tri_uniform_color=None)
-
-    def assemble(obj_table, color, emission):
-        return jnp.concatenate([
-            obj_table[:, 0:24],
-            color[:n].astype(jnp.float32),
-            emission[:n].astype(jnp.float32),
-            obj_table[:, 30:40],
-        ], axis=1)
+    assemble = functools.partial(_assemble_obj, n=n)
 
     @jax.custom_vjp
     def render(color, emission, tri_color, seed, cam_vec, obj_table,

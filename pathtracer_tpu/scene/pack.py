@@ -184,6 +184,11 @@ def _build_texel_pool(kind_images):
     common size, image2d_array_t-style), the flat pool needs no padding —
     and it lets the integrator fetch any texture of any kind with a
     single 4-tap bilinear gather."""
+    # the quad pool is 4x the texel pool in host+device memory and is
+    # only read under PT_TEX_FETCH=quad (integrator._quad_pool), so only
+    # build it when that fetch strategy is selected; the integrator falls
+    # back to take4 if a scene packed without it is traced with quad set
+    want_quad = os.environ.get("PT_TEX_FETCH", "take4") == "quad"
     chunks = []
     quads = []
     tables = {}
@@ -196,13 +201,14 @@ def _build_texel_pool(kind_images):
                         255).astype(np.uint32)
             packed = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
             chunks.append(packed.reshape(-1))
-            # quad rows: bilinear footprint [c00, c01, c10, c11] with
-            # this texture's REPEAT wrap baked in (see SceneArrays)
-            c01 = np.roll(packed, -1, axis=1)
-            c10 = np.roll(packed, -1, axis=0)
-            c11 = np.roll(c10, -1, axis=1)
-            quads.append(np.stack([packed, c01, c10, c11],
-                                  axis=-1).reshape(-1, 4))
+            if want_quad:
+                # quad rows: bilinear footprint [c00, c01, c10, c11] with
+                # this texture's REPEAT wrap baked in (see SceneArrays)
+                c01 = np.roll(packed, -1, axis=1)
+                c10 = np.roll(packed, -1, axis=0)
+                c11 = np.roll(c10, -1, axis=1)
+                quads.append(np.stack([packed, c01, c10, c11],
+                                      axis=-1).reshape(-1, 4))
             entries.append((off, w, h))
             off += h * w
         tables[kind] = entries

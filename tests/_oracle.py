@@ -136,8 +136,22 @@ class OracleScene:
         self.tri_n2 = g(scn.tri_n2)
         self.tri_n3 = g(scn.tri_n3)
         self.tri_color = g(scn.tri_color)
+        # owning group per triangle slot: each group's BVH occupies a
+        # contiguous node range (meta.group_bvh) whose leaves cover a
+        # contiguous triangle range — a multi-group scene must intersect
+        # each group's triangles under THAT group's inverse transform only
+        tri_group = np.full(self.tri_p1.shape[0], -1, np.int64)
+        is_leaf = np.asarray(scn.node_is_leaf) > 0
+        tri_start = np.asarray(scn.node_tri_start)
+        for (j, root, end) in meta.group_bvh:
+            starts = tri_start[root:end][is_leaf[root:end]]
+            if starts.size:
+                lo = int(starts.min())
+                hi = int(starts.max()) + meta.leaf_size
+                tri_group[lo:hi] = j
         valid = (np.abs(self.tri_e1).sum(1)
                  + np.abs(self.tri_e2).sum(1)) > 0
+        self.tri_group = tri_group[valid]
         for f in ("tri_p1", "tri_e1", "tri_e2", "tri_n1", "tri_n2",
                   "tri_n3", "tri_color"):
             setattr(self, f, getattr(self, f)[valid])
@@ -167,9 +181,14 @@ def _closest_hit(sc: OracleScene, o, d, eps, t_max):
         elif code == BOX:
             t = _box_t(to, td, eps)
         elif code == GROUP:
-            t, trin, tric = _tris_t(to, td, sc.tri_p1, sc.tri_e1,
-                                    sc.tri_e2, sc.tri_n1, sc.tri_n2,
-                                    sc.tri_n3, sc.tri_color, eps)
+            mine = sc.tri_group == j
+            if not mine.any():
+                continue
+            t, trin, tric = _tris_t(to, td, sc.tri_p1[mine],
+                                    sc.tri_e1[mine], sc.tri_e2[mine],
+                                    sc.tri_n1[mine], sc.tri_n2[mine],
+                                    sc.tri_n3[mine], sc.tri_color[mine],
+                                    eps)
         else:
             continue
         closer = t < best

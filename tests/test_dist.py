@@ -49,6 +49,25 @@ def test_render_sharded_matches_local_statistically(setup):
     assert np.abs(img_dist - img_local).mean() < 0.12
 
 
+def test_render_sharded_pallas_matches_local(setup):
+    """The distributed MEGAKERNEL (shard_map over ('pixels','spp') with
+    the Pallas kernel per shard) on the CPU mesh via interpret mode +
+    the software PRNG; statistical parity with the local wavefront."""
+    from pathtracer_tpu.parallel.render_dist import render_sharded_pallas
+
+    cfg, sc, arrays, meta = setup
+    big = cfg.replace(samples=32, samples_per_pass=8)
+    mesh = make_mesh()
+    img = render_sharded_pallas(arrays, meta, sc.camera, big, mesh,
+                                interpret=True)
+    assert img.shape == (24, 32, 3)
+    assert np.isfinite(img).all() and img.min() >= 0.0
+    img_local = render(arrays, meta, sc.camera, big)
+    assert abs(img.mean() - img_local.mean()) < 0.05
+    # independent RNG streams at 32 spp: per-pixel MAD is MC noise
+    assert np.abs(img - img_local).mean() < 0.2
+
+
 def test_render_sharded_pixels_only_mesh(setup):
     cfg, sc, arrays, meta = setup
     mesh = make_mesh(shape=(8, 1))

@@ -107,6 +107,22 @@ def test_checkpoint_config_mismatch_rejected(tmp_path, small_segments):
                       checkpoint_path=ck, checkpoint_every=1, resume=True)
 
 
+def test_checkpoint_layout_mismatch_rejected(tmp_path):
+    """Two pixel layouts can have the SAME slot count (block vs linear
+    tiles at zero padding), so resuming a checkpoint across layouts would
+    silently pixel-permute the image — the layout tag must reject it."""
+    from pathtracer_tpu.driver import _checkpoint_load, _checkpoint_save
+
+    cfg = RenderConfig(width=8, height=6, samples=4, samples_per_pass=2)
+    ck = str(tmp_path / "ck.npz")
+    _checkpoint_save(ck, np.zeros((48, 3)), 1, cfg, "pallas", 1,
+                     "tile8x512:linear")
+    with pytest.raises(ValueError, match="layout"):
+        _checkpoint_load(ck, cfg, "pallas", 1, "tile8x512:block")
+    _, n = _checkpoint_load(ck, cfg, "pallas", 1, "tile8x512:linear")
+    assert n == 1
+
+
 def test_forced_pallas_on_unsupported_scene_raises():
     """--backend pallas on a textured scene must fail loudly, not silently
     render untextured (the SMEM object table carries no textures)."""

@@ -78,6 +78,58 @@ def _norm(v):
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
+def test_oracle_closest_hit_two_groups():
+    """A scene with TWO mesh groups under different transforms: each
+    group's triangles must be intersected in its OWN local space (the
+    oracle once tested the whole merged pool under every group's
+    inverse, which double-tests triangles in the wrong space)."""
+    from pathtracer_tpu.geometry.transforms import scale, translate
+    from pathtracer_tpu.render.intersect import intersect_scene
+    from pathtracer_tpu.render.vec3 import Vec3
+    from pathtracer_tpu.scene.pack import pack_scene
+    from pathtracer_tpu.scene.shapes import Group, Triangle
+    import jax.numpy as jnp
+
+    def quad(y):
+        # unit XZ quad at height y
+        p = lambda x, z: np.array([x, y, z, 1.0])
+        return [Triangle(p(-1, -1), p(1, -1), p(1, 1)),
+                Triangle(p(-1, -1), p(1, 1), p(-1, 1))]
+
+    ga = Group()
+    ga.add_children(*quad(0.0))
+    ga.set_transform(translate(-1.5, 0.0, 0.0))
+    gb = Group()
+    gb.add_children(*quad(0.0))
+    gb.set_transform(translate(1.5, 0.5, 0.0) @ scale(0.5, 1.0, 0.5))
+    arrays, meta = pack_scene([ga, gb], leaf_size=4)
+    assert len(meta.group_bvh) == 2
+    osc = OracleScene(arrays, meta)
+
+    # downward probes across both quads (and the gap between them)
+    rng = np.random.default_rng(3)
+    R = 256
+    o = np.stack([rng.uniform(-3, 3, R), np.full(R, 2.0),
+                  rng.uniform(-2, 2, R)], axis=1)
+    d = np.tile([0.0, -1.0, 0.0], (R, 1))
+
+    eps, t_max = 1e-4, 1024.0
+    t_o, win_o, *_, hit_o = _closest_hit(osc, o, d, eps, t_max)
+
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    hit = intersect_scene(arrays, meta, ov, dv, eps, t_max)
+    t_p = np.asarray(hit.t)
+
+    np.testing.assert_array_equal(hit_o, t_p < t_max)
+    # expected hit fraction = quad areas / probe area = (4+1)/24 ~ 0.21
+    assert hit_o.sum() > R // 8
+    np.testing.assert_allclose(t_o[hit_o], t_p[hit_o], rtol=1e-6,
+                               atol=1e-6)
+    assert (win_o[hit_o] == np.asarray(hit.obj_idx)[hit_o]).all()
+    assert set(np.unique(win_o[hit_o])) == {0, 1}  # both groups win somewhere
+
+
 @pytest.mark.parametrize("scene", ["reference", "default"])
 def test_oracle_image_convergence(scene):
     """Independent estimators of the same integral converge: 16x12 at

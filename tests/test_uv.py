@@ -91,7 +91,7 @@ def test_sample_texture_repeat_negative():
     )
 
 
-def test_sample_texture_pool_matches_float_sampler():
+def test_sample_texture_pool_matches_float_sampler(monkeypatch):
     """The flat-pool u32 fetch must agree with the float-atlas bilinear
     sampler within rgb8 quantization (1/255 per tap), including REPEAT
     wrap and textures of different native sizes in one pool."""
@@ -99,6 +99,10 @@ def test_sample_texture_pool_matches_float_sampler():
 
     from pathtracer_tpu.render.uv import sample_texture, sample_texture_pool
     from pathtracer_tpu.scene.pack import _build_texel_pool
+
+    # the quad pool is only materialized under PT_TEX_FETCH=quad (it is
+    # 4x the pool memory and unread otherwise)
+    monkeypatch.setenv("PT_TEX_FETCH", "quad")
 
     rng = np.random.default_rng(7)
     imgs = [rng.random((h, w, 3)) for h, w in ((8, 16), (5, 7))]
