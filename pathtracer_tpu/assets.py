@@ -125,38 +125,27 @@ def load_obj_source(name: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Procedural textures (all deterministic; [H, W, 3] float32 in [0, 1])
+# Procedural textures ([H, W, 3] float32 in [0, 1]).
+#
+# Every generator is a thin wrapper over render/proctex.py: a hashable
+# descriptor + closed-form per-texel program that BOTH the host pool
+# packer and the Pallas megakernel evaluate identically (the megakernel
+# computes texels instead of gathering them — TPUs have no per-lane
+# gather). The returned arrays are ProcImage (ndarray subclass) carrying
+# the descriptor; file-loaded images stay plain ndarrays and render on
+# the wavefront path.
 # ---------------------------------------------------------------------------
-
-def _value_noise(h: int, w: int, cells: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    grid = rng.random((cells + 1, cells + 1), dtype=np.float32)
-    ys = np.linspace(0, cells, h, endpoint=False)
-    xs = np.linspace(0, cells, w, endpoint=False)
-    y0 = ys.astype(int); x0 = xs.astype(int)
-    fy = (ys - y0)[:, None]; fx = (xs - x0)[None, :]
-    fy = fy * fy * (3 - 2 * fy); fx = fx * fx * (3 - 2 * fx)
-    a = grid[np.ix_(y0, x0)]; b = grid[np.ix_(y0, x0 + 1)]
-    c = grid[np.ix_(y0 + 1, x0)]; d = grid[np.ix_(y0 + 1, x0 + 1)]
-    return a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx) + d * fy * fx
-
 
 def checker_texture(h: int = 512, w: int = 512, n: int = 8,
                     c1=(0.9, 0.9, 0.9), c2=(0.2, 0.2, 0.2)) -> np.ndarray:
-    yy, xx = np.mgrid[0:h, 0:w]
-    mask = ((yy * n // h) + (xx * n // w)) % 2 == 0
-    out = np.where(mask[..., None], np.float32(c1), np.float32(c2))
-    return out.astype(np.float32)
+    from .render import proctex
+    return proctex.make(("checker", (n, tuple(c1), tuple(c2))), h, w)
 
 
 def squares_texture(h: int = 512, w: int = 512) -> np.ndarray:
     """Stand-in for concrete_squares.png: grout lines over noisy concrete."""
-    base = 0.55 + 0.25 * _value_noise(h, w, 16, seed=7)[..., None]
-    yy, xx = np.mgrid[0:h, 0:w]
-    line = ((yy % (h // 8)) < 3) | ((xx % (w // 8)) < 3)
-    img = np.repeat(base, 3, axis=2)
-    img[line] *= 0.45
-    return img.astype(np.float32)
+    from .render import proctex
+    return proctex.make(("squares", (7,)), h, w)
 
 
 def squares_normal_map(h: int = 512, w: int = 512) -> np.ndarray:
@@ -165,83 +154,43 @@ def squares_normal_map(h: int = 512, w: int = 512) -> np.ndarray:
     the kernel normalizes the raw texel and uses it as the normal
     (tracer.cl:907-911), so bevels are encoded as small x/z excursions on
     a dominant y component."""
-    yy, xx = np.mgrid[0:h, 0:w]
-    px = (xx % (w // 8)).astype(np.float32)
-    py = (yy % (h // 8)).astype(np.float32)
-    nx = np.where(px < 3, 0.1, np.where(px > (w // 8) - 4, 0.5, 0.3))
-    nz = np.where(py < 3, 0.1, np.where(py > (h // 8) - 4, 0.5, 0.3))
-    ny = np.full_like(nx, 0.9)
-    return np.stack([nx, ny, nz], axis=-1).astype(np.float32)
+    from .render import proctex
+    return proctex.make(("squares_nm", ()), h, w)
 
 
 def cobblestone_texture(h: int = 512, w: int = 512) -> np.ndarray:
-    n1 = _value_noise(h, w, 24, seed=11)
-    n2 = _value_noise(h, w, 6, seed=13)
-    g = 0.35 + 0.3 * n1 + 0.2 * n2
-    return np.stack([g, g * 0.95, g * 0.85], axis=-1).astype(np.float32)
+    from .render import proctex
+    return proctex.make(("cobblestone", (11, 13)), h, w)
 
 
 def floorboards_texture(h: int = 512, w: int = 512) -> np.ndarray:
-    yy, xx = np.mgrid[0:h, 0:w]
-    grain = _value_noise(h, w, 64, seed=17)
-    plank = (yy * 8 // h).astype(np.float32) / 8.0
-    g = 0.45 + 0.12 * grain + 0.08 * plank
-    line = (yy % (h // 8)) < 2
-    img = np.stack([g * 1.0, g * 0.72, g * 0.45], axis=-1)
-    img[line] *= 0.5
-    return img.astype(np.float32)
+    from .render import proctex
+    return proctex.make(("floorboards", (17,)), h, w)
 
 
 def planet_texture(h: int = 512, w: int = 1024, seed: int = 23) -> np.ndarray:
     """2:1 equirectangular planet: continents over ocean."""
-    n = _value_noise(h, w, 12, seed=seed) + 0.5 * _value_noise(h, w, 48, seed=seed + 1)
-    land = n > 0.75
-    img = np.empty((h, w, 3), dtype=np.float32)
-    img[...] = (0.05, 0.15, 0.45)
-    img[land] = (0.15, 0.5, 0.2)
-    polar = np.abs(np.linspace(-1, 1, h))[:, None] > 0.88
-    img[np.repeat(polar, w, axis=1)] = (0.95, 0.95, 0.98)
-    return img
+    from .render import proctex
+    return proctex.make(("planet", (seed,)), h, w)
 
 
 def jupiter_texture(h: int = 512, w: int = 1024) -> np.ndarray:
-    yy = np.linspace(0, 1, h, dtype=np.float32)[:, None]
-    bands = 0.5 + 0.25 * np.sin(yy * 40.0) + 0.1 * _value_noise(h, w, 20, seed=31)
-    img = np.stack([bands * 1.0, bands * 0.8, bands * 0.6], axis=-1)
-    return np.clip(img, 0.0, 1.0).astype(np.float32)
+    from .render import proctex
+    return proctex.make(("jupiter", (31,)), h, w)
 
 
 def sky_sphere_texture(h: int = 1024, w: int = 2048) -> np.ndarray:
     """Stand-in for alps_field_8k.png: 2:1 sky gradient + ground + sun."""
-    v = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None, None]  # 0=top
-    sky = (1 - v) * np.float32((0.35, 0.55, 0.95)) + v * np.float32((0.85, 0.9, 1.0))
-    img = np.broadcast_to(sky, (h, w, 3)).copy()
-    ground = v[..., 0] > 0.62
-    gmask = np.broadcast_to(ground, (h, w))
-    img[gmask] = (0.25, 0.4, 0.18)
-    yy, xx = np.mgrid[0:h, 0:w]
-    sun = ((yy - 0.25 * h) ** 2 + (xx - 0.7 * w) ** 2) < (0.03 * h) ** 2
-    img[sun] = (1.0, 0.98, 0.9)
-    return img.astype(np.float32)
+    from .render import proctex
+    return proctex.make(("sky", ()), h, w)
 
 
 def cubemap_cross_texture(face: int = 256) -> np.ndarray:
     """Stand-in for shrine_cubemap.jpeg in the 4x3 cross layout the kernel
     samples (tracer.cl:113-147): +X right, -X left, +Y top, -Y bottom,
     +Z front, -Z back."""
-    h, w = 3 * face, 4 * face
-    img = np.zeros((h, w, 3), dtype=np.float32)
-    sky = (0.4, 0.6, 0.95)
-    ground = (0.3, 0.25, 0.2)
-    # side faces: left, front, right, back across the middle row
-    for k, tint in enumerate([(1.0, 0.9, 0.8), (0.9, 1.0, 0.9),
-                              (0.8, 0.9, 1.0), (1.0, 1.0, 0.85)]):
-        v = np.linspace(0, 1, face, dtype=np.float32)[:, None, None]
-        col = (1 - v) * np.float32(sky) + v * np.float32(ground)
-        img[face:2 * face, k * face:(k + 1) * face] = col * np.float32(tint)
-    img[0:face, face:2 * face] = sky          # top face
-    img[2 * face:3 * face, face:2 * face] = ground  # bottom face
-    return img
+    from .render import proctex
+    return proctex.make(("cube_cross", (face,)), 3 * face, 4 * face)
 
 
 def load_texture(name: str) -> np.ndarray:
