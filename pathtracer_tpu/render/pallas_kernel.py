@@ -74,15 +74,28 @@ _BIG = 1e30
 _INV24 = float(2.0 ** -24)
 
 
+def textures_computable(meta: SceneMeta) -> bool:
+    """True when every texture the scene samples (color AND normal maps)
+    carries a render/proctex descriptor, so the megakernel can COMPUTE
+    the texels in-kernel (TPU has no per-lane gather to FETCH them).
+    File-backed images have no descriptor -> wavefront gather path."""
+    if not meta.textured_types and not meta.has_normal_maps:
+        return True
+    return all(desc is not None
+               for (_slot, desc, _w, _h, _sx, _sy)
+               in meta.obj_tex + meta.obj_tex_nm)
+
+
 def supports_scene(meta: SceneMeta, scn: SceneArrays = None) -> bool:
-    """Megakernel coverage: untextured scenes of the 4 primitives plus
-    BVH triangle meshes (packet traversal). Textured / normal-mapped
-    scenes fall back to the wavefront integrator."""
+    """Megakernel coverage: the 4 primitives plus BVH triangle meshes
+    (packet traversal), with textures/normal maps when they are
+    procedural (textures_computable). Scenes sampling file-backed image
+    textures fall back to the wavefront integrator."""
     prim = all(t in (PLANE, SPHERE, CYLINDER, BOX, GROUP)
                for t in meta.obj_types)
     if meta.has_groups and meta.leaf_size % _TRI_SLOTS_PER_ROW != 0:
         return False
-    return prim and not meta.textured_types and not meta.has_normal_maps
+    return prim and textures_computable(meta)
 
 
 def build_scene_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
@@ -580,6 +593,137 @@ def _refract(cx, cy, cz, nx, ny, nz, n1, n2):
     )
 
 
+def _atan_poly(z):
+    """atan(z) for z in [0,1]: odd degree-13 least-squares fit, max err
+    7.7e-7 rad (Mosaic has no atan2/acos primitive, so the sphere UV
+    builds them from this)."""
+    z2 = z * z
+    return z * (0.99999659 + z2 * (-0.33319012 + z2 * (0.19823318
+        + z2 * (-0.13294270 + z2 * (0.08076473 + z2 * (-0.03461463
+        + z2 * 0.00715190))))))
+
+
+def _atan2(y, x):
+    """Four-quadrant atan2 via octant reduction to _atan_poly."""
+    ay = jnp.abs(y)
+    ax = jnp.abs(x)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.where(swap, ay, ax)
+    z = num / jnp.maximum(den, jnp.float32(1e-30))
+    r = _atan_poly(z)
+    r = jnp.where(swap, jnp.float32(math.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, jnp.float32(math.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _acos(x):
+    """acos(x) = atan2(sqrt(1-x^2), x) for x in [-1, 1]."""
+    s = jnp.sqrt(jnp.maximum((1.0 - x) * (1.0 + x), 0.0))
+    return _atan2(s, x)
+
+
+def _spherical_uv(lx, ly, lz):
+    """Unit-sphere local point -> texture (u, v), matching
+    uv.spherical_map + the integrator's v flip (tracer.cl:178-213)."""
+    theta = _atan2(lx, lz)
+    radius = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+    phi = _acos(jnp.clip(ly / radius, -1.0, 1.0))
+    raw_u = theta * jnp.float32(1.0 / (2.0 * math.pi))
+    u = 1.0 - (raw_u + 0.5)
+    v = phi * jnp.float32(1.0 / math.pi)  # = 1 - (1 - phi/pi)
+    return u, v
+
+
+def _cfmod(a, b):
+    """C fmod (truncated, sign of dividend) — cube-cross UV helper."""
+    return a - b * jnp.trunc(a * jnp.float32(1.0 / b))
+
+
+def _cube_uv(x, y, z):
+    """Cube-cross UV for a unit-cube local point, matching uv.cube_uv
+    (tracer.cl:113-175)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    az = jnp.abs(z)
+    coord = jnp.maximum(jnp.maximum(ax, ay), az)
+
+    third = jnp.float32(0.333333)
+    v_mid = jnp.float32(0.6666666) - (_cfmod(y + 1.0, 2.0) * 0.5) * third
+    u_right = 0.5 + (_cfmod(1.0 - z, 2.0) * 0.5) * 0.25
+    u_left = (_cfmod(z + 1.0, 2.0) * 0.5) * 0.25
+    u_top = 0.25 + (_cfmod(x + 1.0, 2.0) * 0.5) * 0.25
+    v_top = 1.0 - (_cfmod(1.0 - z, 2.0) * 0.5) * third
+    v_bottom = (_cfmod(z + 1.0, 2.0) * 0.5) * third
+    u_back = 0.75 + (_cfmod(1.0 - x, 2.0) * 0.5) * 0.25
+
+    sel_right = coord == x
+    sel_left = (~sel_right) & (coord == -x)
+    sel_top = (~sel_right) & (~sel_left) & (coord == y)
+    sel_bottom = (~sel_right) & (~sel_left) & (~sel_top) & (coord == -y)
+    sel_front = (~sel_right) & (~sel_left) & (~sel_top) & (~sel_bottom) \
+        & (coord == z)
+
+    u = jnp.where(sel_right, u_right,
+        jnp.where(sel_left, u_left,
+        jnp.where(sel_top, u_top,
+        jnp.where(sel_bottom, u_top,
+        jnp.where(sel_front, u_top, u_back)))))
+    v = jnp.where(sel_top, v_top,
+        jnp.where(sel_bottom, v_bottom, v_mid))
+    return u, v
+
+
+def _wrap_tex(a, m):
+    """Floor-mod wrap of a float-held integer coordinate to [0, m)."""
+    fm = jnp.float32(m)
+    return a - fm * jnp.floor(a / fm)
+
+
+def _sample_proc(desc, w: int, h: int, u, v):
+    """Bilinear REPEAT sample of a PROCEDURAL texture: the four texel
+    taps are COMPUTED with the proctex program (incl. the pool's rgb8
+    quantization) instead of gathered — the megakernel's texturing
+    strategy (render/proctex.py). Semantics match uv.sample_texture_pool
+    / tracer.cl:829 (normalized coords, REPEAT, LINEAR)."""
+    from . import proctex
+
+    fx = u * jnp.float32(w) - 0.5
+    fy = v * jnp.float32(h) - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0w = _wrap_tex(x0, w)
+    x1w = _wrap_tex(x0 + 1.0, w)
+    y0w = _wrap_tex(y0, h)
+    y1w = _wrap_tex(y0 + 1.0, h)
+
+    c00 = proctex.eval_texel(jnp, desc, x0w, y0w, h, w)
+    c01 = proctex.eval_texel(jnp, desc, x1w, y0w, h, w)
+    c10 = proctex.eval_texel(jnp, desc, x0w, y1w, h, w)
+    c11 = proctex.eval_texel(jnp, desc, x1w, y1w, h, w)
+    out = []
+    for k in range(3):
+        top = c00[k] * (1.0 - tx) + c01[k] * tx
+        bot = c10[k] * (1.0 - tx) + c11[k] * tx
+        out.append(top * (1.0 - ty) + bot * ty)
+    return out
+
+
+def _tex_groups(entries, obj_types):
+    """Group per-object texture records that share (desc, w, h, sx, sy)
+    and primitive type (the type picks the UV mapping), so objects with
+    the same program evaluate it once per bounce (e.g. the three
+    squares-textured walls of the `textures` scene)."""
+    groups = {}
+    for (slot, desc, w, h, sx, sy) in entries:
+        key = (desc, w, h, sx, sy, obj_types[slot])
+        groups.setdefault(key, []).append(slot)
+    return [(slots, desc, w, h, sx, sy, tcode)
+            for (desc, w, h, sx, sy, tcode), slots in groups.items()]
+
+
 def _group_octant_base(meta: SceneMeta, pre, tdx, tdy, tdz):
     """Node-table offset selecting the front-to-back DFS copy for this
     packet's majority direction octant (scene/bvh.octant_node_orders).
@@ -1027,6 +1171,14 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
     golden2 = ((math.sqrt(5.0) + 1.0) / 2.0) ** 2
     sun_n = float(total_samples)
     sun_b = round(2.0 * math.sqrt(sun_n))  # sunflower boundary count
+    # static texture programs: one masked in-kernel evaluation per
+    # distinct (program, scale, type) per bounce (see _sample_proc;
+    # untextured scenes compile none of this)
+    tex_groups = _tex_groups(meta.obj_tex, obj_types) \
+        if meta.textured_types else []
+    nm_groups = _tex_groups(meta.obj_tex_nm, obj_types) \
+        if meta.has_normal_maps else []
+    track_obj = bool(tex_groups or nm_groups)
 
     def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, px_ref,
                py_ref, out_r, out_g, out_b):
@@ -1142,6 +1294,7 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 refr = jnp.ones(shape, jnp.float32)
                 invt = [jnp.zeros(shape, jnp.float32)] * 12
                 w_type = jnp.full(shape, -1, jnp.int32)
+                w_obj = jnp.full(shape, -1, jnp.int32) if track_obj else None
                 w_min_y = jnp.zeros(shape, jnp.float32)
                 w_max_y = jnp.zeros(shape, jnp.float32)
                 emi_g = jnp.zeros(shape, jnp.float32)
@@ -1220,6 +1373,8 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                     invt = [jnp.where(closer, obj_ref[j, 12 + k], invt[k])
                             for k in range(12)]
                     w_type = jnp.where(closer, code, w_type)
+                    if track_obj:
+                        w_obj = jnp.where(closer, j, w_obj)
 
                 hit_ok = best_t < t_max
                 t = jnp.minimum(best_t, t_max)
@@ -1262,6 +1417,19 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                       jnp.where(is_plane, zero,
                       jnp.where(is_cyl, cyl_nz,
                       jnp.where(is_box, box_nz, lz))))
+                # plane normal maps: the COMPUTED texel is the
+                # object-space normal (tracer.cl:907-911; the wavefront's
+                # pre-normalize is redundant here — the cascade output is
+                # normalized after the invt transform below)
+                for (slots, desc, twn, thn, sxn, syn, _t) in nm_groups:
+                    msk = functools.reduce(
+                        jnp.logical_or, [w_obj == s for s in slots])
+                    nm_u = jnp.abs(lx) * sxn
+                    nm_v = jnp.abs(lz) * syn
+                    nmx, nmy, nmz = _sample_proc(desc, twn, thn, nm_u, nm_v)
+                    nlx = jnp.where(msk, nmx, nlx)
+                    nly = jnp.where(msk, nmy, nly)
+                    nlz = jnp.where(msk, nmz, nlz)
                 nx, ny, nz = _mat12_vec(invt, nlx, nly, nlz)
                 nx, ny, nz = _normalize(nx, ny, nz)
                 # face-forward
@@ -1270,6 +1438,23 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 nx = jnp.where(flip, -nx, nx)
                 ny = jnp.where(flip, -ny, ny)
                 nz = jnp.where(flip, -nz, nz)
+
+                # ---- texture color (tracer.cl:1075-1093): computed, not
+                # gathered — one masked program eval per distinct texture
+                for (slots, desc, tw, th, sx, sy, tcode) in tex_groups:
+                    msk = functools.reduce(
+                        jnp.logical_or, [w_obj == s for s in slots])
+                    if tcode == PLANE:
+                        tu = lx * sx
+                        tv = lz * sy
+                    elif tcode == SPHERE:
+                        tu, tv = _spherical_uv(lx, ly, lz)
+                    else:  # BOX (cube-cross)
+                        tu, tv = _cube_uv(lx, ly, lz)
+                    tcr, tcg, tcb = _sample_proc(desc, tw, th, tu, tv)
+                    col_r = jnp.where(msk, tcr, col_r)
+                    col_g = jnp.where(msk, tcg, col_g)
+                    col_b = jnp.where(msk, tcb, col_b)
 
                 # ---- material roulette (tracer.cl:982-1061) -----------
                 u_refl = _uniform(shape, 2, n, b)

@@ -131,6 +131,16 @@ class SceneMeta:
     # per-triangle color selects and broadcasts this constant instead
     # (render/pallas_kernel._packet_traverse); None = per-tri colors
     tri_uniform_color: "Tuple[float, float, float] | None" = None
+    # static per-object texture programs for the megakernel: one entry
+    # per object that actually SAMPLES a texture (is_textured and type
+    # in plane/sphere/box): (slot, proc_desc, w, h, sx, sy). proc_desc
+    # is the render/proctex descriptor when the image is procedural, or
+    # None for file-backed images — then the megakernel cannot compute
+    # texels and the scene stays on the wavefront gather path
+    # (pallas_kernel.supports_scene). obj_tex_nm likewise for plane
+    # normal maps (tracer.cl:907-911 semantics).
+    obj_tex: Tuple = ()
+    obj_tex_nm: Tuple = ()
 
     @property
     def has_groups(self) -> bool:
@@ -361,6 +371,11 @@ def pack_scene(
     pool_nm_base = np.zeros(no, dtype=np_dtype)
     pool_nm_w = np.ones(no, dtype=np_dtype)
     pool_nm_h = np.ones(no, dtype=np_dtype)
+    kind_image_lists = {"planar": list(textures),
+                        "sphere": list(sphere_textures),
+                        "cube": list(cube_textures)}
+    obj_tex: List[Tuple] = []
+    obj_tex_nm: List[Tuple] = []
     for i in range(n):
         kind = _kind_of_type.get(int(obj_type[i]))
         entries = pool_tables.get(kind, [])
@@ -369,6 +384,27 @@ def pack_scene(
         if is_tex_nm[i] and tex_idx_nm[i] < len(pool_tables["planar"]):
             (pool_nm_base[i], pool_nm_w[i],
              pool_nm_h[i]) = pool_tables["planar"][tex_idx_nm[i]]
+        # static texture-program records for the megakernel (see SceneMeta)
+        if is_tex[i] and kind is not None:
+            ims = kind_image_lists[kind]
+            im = ims[tex_idx[i]] if tex_idx[i] < len(ims) else None
+            desc = getattr(im, "proc", None) if im is not None else None
+            obj_tex.append((
+                i, desc,
+                int(im.shape[1]) if im is not None else 1,
+                int(im.shape[0]) if im is not None else 1,
+                float(tex_scale[i][0]), float(tex_scale[i][1]),
+            ))
+        if is_tex_nm[i] and int(obj_type[i]) == PLANE:
+            ims = kind_image_lists["planar"]
+            im = ims[tex_idx_nm[i]] if tex_idx_nm[i] < len(ims) else None
+            desc = getattr(im, "proc", None) if im is not None else None
+            obj_tex_nm.append((
+                i, desc,
+                int(im.shape[1]) if im is not None else 1,
+                int(im.shape[0]) if im is not None else 1,
+                float(tex_scale_nm[i][0]), float(tex_scale_nm[i][1]),
+            ))
 
     arrays = SceneArrays(
         obj_type=i32(obj_type),
@@ -451,5 +487,7 @@ def pack_scene(
         has_normal_maps=has_nm,
         light_indices=lights,
         tri_uniform_color=uni_color,
+        obj_tex=tuple(obj_tex),
+        obj_tex_nm=tuple(obj_tex_nm),
     )
     return arrays, meta

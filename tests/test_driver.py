@@ -124,11 +124,13 @@ def test_checkpoint_layout_mismatch_rejected(tmp_path):
 
 
 def test_forced_pallas_on_unsupported_scene_raises():
-    """--backend pallas on a textured scene must fail loudly, not silently
-    render untextured (the SMEM object table carries no textures)."""
+    """--backend pallas on a scene with a FILE-backed texture (no
+    procedural descriptor -> texels cannot be computed in-kernel) must
+    fail loudly, not silently render untextured."""
     cfg = RenderConfig(width=16, height=12, samples=2, samples_per_pass=2,
                       backend="pallas")
     sc = get_scene("textures", cfg)
+    sc.textures[0] = np.asarray(sc.textures[0])  # as a loaded PNG would be
     arrays, meta = sc.pack()
     with pytest.raises(ValueError, match="not supported by the megakernel"):
         render_driver(arrays, meta, sc.camera, cfg)

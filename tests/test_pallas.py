@@ -37,13 +37,24 @@ def test_supports_scene_classification(small_cfg):
         "transparency": True,       # + glass/mirror roulette
         "default": True,            # triangle group (packet traversal)
         "teapot": True,             # BVH mesh
-        "textures": False,          # textured materials -> wavefront
-        "cubemap": False,           # cube-map texture -> wavefront
+        "textures": True,           # procedural textures: computed in-kernel
+        "cubemap": True,            # procedural cube-cross: computed
+        "envmap": True,             # procedural sky sphere: computed
     }
     for name, expect in checks.items():
         sc = get_scene(name, small_cfg)
         _, meta = sc.pack()
         assert supports_scene(meta) == expect, name
+
+
+def test_supports_scene_file_texture_falls_back(small_cfg):
+    """A scene whose texture is a FILE image (no proctex descriptor)
+    cannot be computed in-kernel and must stay on the wavefront path."""
+    sc = get_scene("textures", small_cfg)
+    # strip the descriptor from one texture, as a loaded PNG would be
+    sc.textures[0] = np.asarray(sc.textures[0])
+    _, meta = sc.pack()
+    assert not supports_scene(meta)
 
 
 @_tpu
