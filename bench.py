@@ -226,7 +226,10 @@ def _extra_records(width, height):
     out = {}
     for scene, fn, spp in (("teapot", bench_pallas, 8),
                            ("gopher", bench_pallas, 8),
-                           ("textures", bench_wavefront, 2),
+                           # textured scenes ride the megakernel now
+                           # (computed texels, render/proctex.py)
+                           ("textures", bench_pallas, 32),
+                           ("cubemap", bench_pallas, 8),
                            ("reference", bench_diff, 32)):
         tag = ("fwd_bwd_reference" if fn is bench_diff
                else f"fwd_{scene}")

@@ -76,6 +76,26 @@ def test_megakernel_matches_wavefront_mean(small_cfg):
 
 
 @_tpu
+def test_megakernel_textured_matches_wavefront_mean():
+    """Textured megakernel ON HARDWARE (computed texels + polynomial
+    sphere UV + normal maps) vs the wavefront integrator: independent
+    estimators of the same integral."""
+    from pathtracer_tpu.render.integrator import render
+
+    cfg = RenderConfig(width=64, height=48, samples=64,
+                       samples_per_pass=64)
+    for scene in ("textures", "envmap"):
+        sc = get_scene(scene, cfg)
+        arrays, meta = sc.pack()
+        assert supports_scene(meta), scene
+        img_p = render_pallas(arrays, meta, sc.camera, cfg)
+        img_w = render(arrays, meta, sc.camera, cfg)
+        assert np.isfinite(img_p).all() and img_p.min() >= 0.0, scene
+        assert abs(img_p.mean() - img_w.mean()) < 0.04, scene
+        assert np.abs(img_p - img_w).mean() < 0.15, scene
+
+
+@_tpu
 def test_megakernel_mesh_matches_wavefront_mean(small_cfg):
     """BVH packet-traversal path vs the CPU wavefront oracle (the
     wavefront BVH on real TPU hardware is watchdog-limited, so the oracle
