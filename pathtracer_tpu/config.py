@@ -23,7 +23,10 @@ class RenderConfig:
     focal_length: float = 0.0
 
     # -- TPU-specific --------------------------------------------------
-    # f32 is TPU-native; f64 is available for CPU golden tests.
+    # f32 is TPU-native (the reference computes in f64 end-to-end,
+    # tracer.cl `double`; f32 parity is established in
+    # tests/test_precision.py). f64 runs the wavefront path on any
+    # backend — CPU golden tests and, emulated and slow, on TPU.
     dtype: str = "float32"
     # Reference uses EPSILON=1e-4 in float64 (tracer.cl:4). The same value
     # works in f32 at the reference's ~unit scene scale.

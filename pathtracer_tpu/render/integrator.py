@@ -216,9 +216,41 @@ def _mat12_apply_vector(m: Tuple[jnp.ndarray, ...], v: Vec3) -> Vec3:
     )
 
 
+def _use_computed_tex(meta: SceneMeta, cfg: RenderConfig) -> bool:
+    """Compute texels from the procedural programs instead of gathering
+    from the texel pool (render/proctex.py): the megakernel's texturing
+    strategy also wins on the wavefront path, where pool gathers are
+    ~90% of textured-scene time (docs/PERFORMANCE.md). Gathering remains
+    for file-backed images, f64 golden renders (programs are f32), the
+    trainable-texture atlases, and PT_TEX_MODE=gather A/Bs."""
+    from . import pallas_kernel as _pk
+
+    return (_pk.textures_computable(meta)
+            and cfg.dtype == "float32"
+            and not cfg.trainable_textures
+            and os.environ.get("PT_TEX_MODE", "compute") != "gather")
+
+
+def _computed_tex_fold(meta: SceneMeta, entries, obj_idx, u, v, out: Vec3
+                       ) -> Vec3:
+    """Fold per-object-group computed texture samples into `out` at the
+    (already type-unified) UV coordinates."""
+    import functools
+
+    from . import pallas_kernel as _pk
+
+    for (slots, desc, tw, th, _sx, _sy, _tc) in _pk._tex_groups(
+            entries, meta.obj_types):
+        msk = functools.reduce(
+            jnp.logical_or, [obj_idx == s for s in slots])
+        r, g, b = _pk._sample_proc(desc, tw, th, u, v)
+        out = Vec3.where(msk, Vec3(r, g, b), out)
+    return out
+
+
 def _surface_normal(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
                     at: ObjAttrs, lp: Vec3, tri_normal: Vec3, is_tri,
-                    eps) -> Vec3:
+                    eps, obj_idx=None) -> Vec3:
     """Object-space normal by primitive type (tracer.cl:903-950)."""
     obj_type = at.obj_type
     min_y, max_y = at.min_y, at.max_y
@@ -233,7 +265,11 @@ def _surface_normal(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
         nm_sx, nm_sy = at.texture_scale_nm
         nm_u = jnp.abs(lp.x) * nm_sx
         nm_v = jnp.abs(lp.z) * nm_sy
-        if not cfg.trainable_textures:
+        if _use_computed_tex(meta, cfg) and obj_idx is not None:
+            nm_rgb = _computed_tex_fold(
+                meta, meta.obj_tex_nm, obj_idx, nm_u, nm_v,
+                n_plane).normalized()
+        elif not cfg.trainable_textures:
             nm_rgb = sample_texture_pool(
                 scn.tex_pool_u32, at.tex_nm_base, at.tex_nm_w,
                 at.tex_nm_h, nm_u, nm_v,
@@ -272,7 +308,8 @@ def _surface_normal(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
 
 
 def _surface_color(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
-                   at: ObjAttrs, lp: Vec3, tri_color: Vec3, is_tri) -> Vec3:
+                   at: ObjAttrs, lp: Vec3, tri_color: Vec3, is_tri,
+                   obj_idx=None) -> Vec3:
     """Surface color incl. texture lookups (tracer.cl:1075-1093).
 
     Texture sampling per primitive type is STATICALLY elided when no object
@@ -288,10 +325,8 @@ def _surface_color(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
         sx, sy = at.texture_scale
 
         if not cfg.trainable_textures:
-            # unified flat-pool fetch: select the sampler-kind UV per ray
-            # FIRST (cheap VPU selects), then do ONE 4-tap gather from
-            # the flat pool — texel gathers dominate textured scenes, so
-            # one fetch instead of one per kind is the whole ballgame
+            # unified UV: select the sampler-kind UV per ray FIRST
+            # (cheap VPU selects), then ONE texel evaluation/fetch
             u = lp.x * sx
             v = lp.z * sy
             if SPHERE in meta.textured_types:
@@ -304,9 +339,17 @@ def _surface_color(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
                 sel = obj_type == BOX
                 u = jnp.where(sel, uc, u)
                 v = jnp.where(sel, vc, v)
-            tex_color = sample_texture_pool(
-                scn.tex_pool_u32, at.tex_base, at.tex_w, at.tex_h, u, v,
-                pool_quad_u32=_quad_pool(scn))
+            if _use_computed_tex(meta, cfg) and obj_idx is not None:
+                # COMPUTE the 4 bilinear taps from the procedural
+                # programs — no pool gathers at all on this path
+                tex_color = _computed_tex_fold(
+                    meta, meta.obj_tex, obj_idx, u, v, base)
+            else:
+                # flat-pool fetch: texel gathers dominate textured
+                # scenes, so one 4-tap fetch for all kinds
+                tex_color = sample_texture_pool(
+                    scn.tex_pool_u32, at.tex_base, at.tex_w, at.tex_h,
+                    u, v, pool_quad_u32=_quad_pool(scn))
         else:
             # differentiable path: per-kind float atlases (texel
             # gradients flow; perf is AD-dominated anyway)
@@ -447,6 +490,7 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
 
     n_local = _surface_normal(
         scn, meta, cfg, at, local_point, tri_normal, hit.is_tri, eps,
+        obj_idx=hit.obj_idx,
     )
     normal = _mat12_apply_vector(at.inv_t, n_local).normalized()
     # face-forward (tracer.cl:962-964)
@@ -505,7 +549,7 @@ def bounce_step(scn: SceneArrays, meta: SceneMeta, cfg: RenderConfig,
     is_refraction = entering | exiting
 
     color = _surface_color(scn, meta, cfg, at, local_point, tri_color,
-                           hit.is_tri)
+                           hit.is_tri, obj_idx=hit.obj_idx)
     zero = jnp.zeros_like(color.x)
     emission = Vec3.where(hit.is_tri, Vec3(zero, zero, zero), at.emission)
 

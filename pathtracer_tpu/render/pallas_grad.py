@@ -724,6 +724,9 @@ def make_diff_render(meta: SceneMeta, cfg: RenderConfig, spp: int,
     assert pk.traversal_mode(meta) == "classic", \
         "differentiable megakernel replay is classic-traversal only " \
         "(tables are classic layout); unset PT_TRAVERSAL"
+    assert not meta.textured_types and not meta.has_normal_maps, \
+        "differentiable megakernel does not replay texture programs " \
+        "(train textures via the wavefront AD path, diff/grad.py)"
     n = meta.n_objects
     assemble = functools.partial(_assemble_obj, n=n)
 
@@ -815,6 +818,9 @@ def make_diff_render_tri(meta: SceneMeta, cfg: RenderConfig,
     assert pk.traversal_mode(meta) == "classic", \
         "differentiable megakernel replay is classic-traversal only " \
         "(tables are classic layout); unset PT_TRAVERSAL"
+    assert not meta.textured_types and not meta.has_normal_maps, \
+        "differentiable megakernel does not replay texture programs " \
+        "(train textures via the wavefront AD path, diff/grad.py)"
     n = meta.n_objects
     # uniform-color elision must be OFF in both the primal and the
     # replay: the differentiable colors vary even when the packed

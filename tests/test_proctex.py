@@ -138,6 +138,26 @@ def test_sample_proc_matches_pool_sampler():
     assert d.max() < 2.5 / 255.0, f"max sample diff {d.max()}"
 
 
+@pytest.mark.parametrize("scene", ["textures", "envmap", "cubemap"])
+def test_wavefront_computed_matches_gathered(scene, monkeypatch):
+    """The wavefront integrator's computed-texel path (PT_TEX_MODE
+    default) vs its pool-gather path: same RNG, same estimator — images
+    agree to the texel quantization level."""
+    from pathtracer_tpu.render.integrator import render
+
+    cfg = RenderConfig(width=32, height=24, samples=8, samples_per_pass=8,
+                       seed=3)
+    sc = get_scene(scene, cfg)
+    arrays, meta = sc.pack()
+    monkeypatch.setenv("PT_TEX_MODE", "compute")
+    a = render(arrays, meta, sc.camera, cfg)
+    monkeypatch.setenv("PT_TEX_MODE", "gather")
+    b = render(arrays, meta, sc.camera, cfg)
+    d = np.abs(a - b)
+    assert d.max() <= 1.5 / 255.0, f"max {d.max()}"
+    assert d.mean() <= 0.5 / 255.0
+
+
 @pytest.mark.parametrize("scene,spp,bound", [
     ("textures", 32, 0.04),
     ("envmap", 16, 0.04),
