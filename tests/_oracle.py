@@ -129,6 +129,19 @@ class OracleScene:
         self.refl = g(scn.reflectivity)
         self.min_y = g(scn.min_y)
         self.max_y = g(scn.max_y)
+        # texture pipeline (data only: the u32 pool; sampling math is
+        # re-derived below from tracer.cl:829/1077-1093/907-911)
+        self.is_tex = np.asarray(scn.is_textured)
+        self.tex_base = np.asarray(scn.tex_base, np.int64)
+        self.tex_w = np.asarray(scn.tex_w, np.int64)
+        self.tex_h = np.asarray(scn.tex_h, np.int64)
+        self.tex_scale = g(scn.texture_scale)
+        self.is_tex_nm = np.asarray(scn.is_textured_nm)
+        self.tex_nm_base = np.asarray(scn.tex_nm_base, np.int64)
+        self.tex_nm_w = np.asarray(scn.tex_nm_w, np.int64)
+        self.tex_nm_h = np.asarray(scn.tex_nm_h, np.int64)
+        self.tex_scale_nm = g(scn.texture_scale_nm)
+        self.pool = np.asarray(scn.tex_pool_u32)
         self.tri_p1 = g(scn.tri_p1)
         self.tri_e1 = g(scn.tri_e1)
         self.tri_e2 = g(scn.tri_e2)
@@ -207,7 +220,9 @@ def _closest_hit(sc: OracleScene, o, d, eps, t_max):
 
 
 def _surface_normal(sc, win, lp, is_tri, tri_n, eps):
-    """Normal by type (tracer.cl:903-950) in object space."""
+    """Normal by type (tracer.cl:903-950) in object space, incl. plane
+    normal maps (tracer.cl:907-911: the normalized texel IS the normal;
+    uv = |local| * scale)."""
     R = lp.shape[0]
     n = np.zeros((R, 3))
     for j, code in enumerate(sc.types):
@@ -217,6 +232,12 @@ def _surface_normal(sc, win, lp, is_tri, tri_n, eps):
         p = lp[sel]
         if code == PLANE:
             nj = np.tile([0.0, 1.0, 0.0], (sel.sum(), 1))
+            if sc.is_tex_nm[j]:
+                u = np.abs(p[:, 0]) * sc.tex_scale_nm[j, 0]
+                v = np.abs(p[:, 2]) * sc.tex_scale_nm[j, 1]
+                nj = _normalize(_sample_pool(
+                    sc.pool, sc.tex_nm_base[j], sc.tex_nm_w[j],
+                    sc.tex_nm_h[j], u, v))
         elif code == SPHERE:
             nj = p.copy()
         elif code == CYLINDER:
@@ -236,6 +257,84 @@ def _surface_normal(sc, win, lp, is_tri, tri_n, eps):
         n[sel] = nj
     n = np.where(is_tri[:, None], tri_n, n)
     return n
+
+
+def _sample_pool(pool, base, w, h, u, v):
+    """OpenCL image sampler semantics (tracer.cl:829): normalized
+    coordinates, REPEAT wrap, LINEAR filtering with texel centers at
+    (i + 0.5)/W — bilinear over the rgb8-in-u32 flat pool, f64 weights."""
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = np.floor(fx)
+    y0 = np.floor(fy)
+    tx = (fx - x0)[:, None]
+    ty = (fy - y0)[:, None]
+    x0i = np.mod(x0.astype(np.int64), w)
+    x1i = np.mod(x0i + 1, w)
+    y0i = np.mod(y0.astype(np.int64), h)
+    y1i = np.mod(y0i + 1, h)
+
+    def texel(yi, xi):
+        p = pool[base + yi * w + xi]
+        return np.stack([p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF],
+                        axis=-1).astype(np.float64) / 255.0
+
+    top = texel(y0i, x0i) * (1 - tx) + texel(y0i, x1i) * tx
+    bot = texel(y1i, x0i) * (1 - tx) + texel(y1i, x1i) * tx
+    return top * (1 - ty) + bot * ty
+
+
+def _spherical_uv(p):
+    """sphereUV (tracer.cl:178-213) + the kernel's v flip at the call
+    site (tracer.cl:1085): returns the texture-space coordinates."""
+    theta = np.arctan2(p[:, 0], p[:, 2])
+    radius = np.sqrt((p * p).sum(1))
+    phi = np.arccos(np.clip(p[:, 1] / radius, -1.0, 1.0))
+    raw_u = theta / (2.0 * np.pi)
+    u = 1.0 - (raw_u + 0.5)
+    return u, phi / np.pi
+
+
+def _cube_uv(p):
+    """cubeUV cross layout (tracer.cl:113-175): face from the dominant
+    |coord|, per-face u/v from C-fmod folds."""
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    fmod = lambda a, b: a - b * np.trunc(a / b)
+    coord = np.abs(p).max(axis=1)
+    third = 0.333333
+    v_mid = 0.6666666 - (fmod(y + 1.0, 2.0) / 2.0) * third
+    u = np.where(coord == x, 0.5 + (fmod(1.0 - z, 2.0) / 2.0) * 0.25,
+        np.where(coord == -x, (fmod(z + 1.0, 2.0) / 2.0) * 0.25,
+                 0.25 + (fmod(x + 1.0, 2.0) / 2.0) * 0.25))
+    u = np.where((coord != x) & (coord != -x) & (coord != y)
+                 & (coord != -y) & (coord != z),
+                 0.75 + (fmod(1.0 - x, 2.0) / 2.0) * 0.25, u)
+    v = np.where((coord == x) | (coord == -x), v_mid,
+        np.where(coord == y, 1.0 - (fmod(1.0 - z, 2.0) / 2.0) * third,
+        np.where(coord == -y, (fmod(z + 1.0, 2.0) / 2.0) * third, v_mid)))
+    return u, v
+
+
+def _textured_color(sc, win, lp, color):
+    """Texture overrides (tracer.cl:1077-1093): plane uses scaled local
+    x/z, sphere the spherical map (v flipped), box the cube cross."""
+    for j, code in enumerate(sc.types):
+        if not sc.is_tex[j] or code not in (PLANE, SPHERE, BOX):
+            continue
+        sel = win == j
+        if not sel.any():
+            continue
+        p = lp[sel]
+        if code == PLANE:
+            u = p[:, 0] * sc.tex_scale[j, 0]
+            v = p[:, 2] * sc.tex_scale[j, 1]
+        elif code == SPHERE:
+            u, v = _spherical_uv(p)
+        else:
+            u, v = _cube_uv(p)
+        color[sel] = _sample_pool(sc.pool, sc.tex_base[j], sc.tex_w[j],
+                                  sc.tex_h[j], u, v)
+    return color
 
 
 def _schlick(eye, n, n1, n2):
@@ -328,6 +427,7 @@ def oracle_render(scn, meta, camera, width, height, spp, seed,
         refl = sc.refl[winc]
         refr = sc.refr[winc]
         color = np.where(is_tri[:, None], tri_c, sc.color[winc])
+        color = _textured_color(sc, np.where(is_tri, -1, win), lp, color)
         emission = np.where(is_tri[:, None], 0.0, sc.emission[winc])
 
         do_reflect = (refl != 0) & (u[0] < refl)

@@ -130,10 +130,12 @@ def test_oracle_closest_hit_two_groups():
     assert set(np.unique(win_o[hit_o])) == {0, 1}  # both groups win somewhere
 
 
-@pytest.mark.parametrize("scene", ["reference", "default"])
+@pytest.mark.parametrize("scene", ["reference", "default", "textures"])
 def test_oracle_image_convergence(scene):
     """Independent estimators of the same integral converge: 16x12 at
-    high spp, per-pixel agreement within MC noise."""
+    high spp, per-pixel agreement within MC noise. `textures` covers the
+    whole texture pipeline (UV maps, bilinear REPEAT pool sampling,
+    normal maps) against the oracle's own f64 re-derivation."""
     from pathtracer_tpu.render.integrator import render
 
     spp = 1536
