@@ -68,6 +68,29 @@ def test_render_sharded_pallas_matches_local(setup):
     assert np.abs(img - img_local).mean() < 0.2
 
 
+def test_render_sharded_pallas_textured(setup):
+    """Distributed megakernel on a TEXTURED scene (computed texels under
+    shard_map): same estimator as the local wavefront."""
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.parallel.render_dist import render_sharded_pallas
+    from pathtracer_tpu.scenes import get_scene
+
+    cfg = RenderConfig(width=32, height=24, samples=16,
+                       samples_per_pass=16)
+    import jax
+
+    sc = get_scene("textures", cfg)
+    arrays, meta = sc.pack()
+    mesh = make_mesh(devices=jax.devices()[:4], shape=(2, 2))
+    img = render_sharded_pallas(arrays, meta, sc.camera, cfg, mesh,
+                                interpret=True)
+    assert img.shape == (24, 32, 3)
+    assert np.isfinite(img).all() and img.min() >= 0.0
+    img_local = render(arrays, meta, sc.camera, cfg)
+    assert abs(img.mean() - img_local.mean()) < 0.05
+    assert np.abs(img - img_local).mean() < 0.25
+
+
 def test_render_sharded_pixels_only_mesh(setup):
     cfg, sc, arrays, meta = setup
     mesh = make_mesh(shape=(8, 1))
