@@ -142,8 +142,12 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             vy = half_h - y_off
             vz = jnp.full(shape, -1.0, jnp.float32)
             pxw, pyw, pzw = _mat12_point(cam, vx, vy, vz)
-            zero = jnp.zeros(shape, jnp.float32)
-            oxw, oyw, ozw = _mat12_point(cam, zero, zero, zero)
+            # camera origin = the translation column (must stay
+            # value-identical to pallas_kernel's forward raygen — the
+            # backward replay reuses this trajectory)
+            oxw = jnp.full(shape, cam[3], jnp.float32)
+            oyw = jnp.full(shape, cam[7], jnp.float32)
+            ozw = jnp.full(shape, cam[11], jnp.float32)
             dx, dy, dz = _normalize(pxw - oxw, pyw - oyw, pzw - ozw)
 
             nf = (n + sample_base).astype(jnp.float32)

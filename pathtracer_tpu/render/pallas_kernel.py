@@ -1205,6 +1205,12 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
         acc_g = jnp.zeros(shape, jnp.float32)
         acc_b = jnp.zeros(shape, jnp.float32)
 
+        # camera origin = inverse(0,0,0) = the translation column:
+        # loop-invariant across samples, hoisted out of sample_body
+        oxw = jnp.full(shape, cam[3], jnp.float32)
+        oyw = jnp.full(shape, cam[7], jnp.float32)
+        ozw = jnp.full(shape, cam[11], jnp.float32)
+
         def traverse_packet(root, end, tox, toy, toz, tdx, tdy, tdz,
                             active, bt0):
             oct_base = _group_octant_base(meta, active, tdx, tdy, tdz)
@@ -1230,8 +1236,6 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             vy = half_h - y_off
             vz = jnp.full(shape, -1.0, jnp.float32)
             pxw, pyw, pzw = _mat12_point(cam, vx, vy, vz)
-            zero = jnp.zeros(shape, jnp.float32)
-            oxw, oyw, ozw = _mat12_point(cam, zero, zero, zero)
             dx, dy, dz = _normalize(pxw - oxw, pyw - oyw, pzw - ozw)
 
             # DoF via sunflower(totalSamples, alpha=2, n) (tracer.cl:762-776)
