@@ -188,8 +188,9 @@ def traversal_mode(meta: SceneMeta) -> str:
     - "classic" — dual-basis VPU unroll with sub-packet gating
       (_packet_traverse), the measured round-2 default.
     - "mxu"     — leaf triangle tests as MXU matmuls
-      (_packet_traverse_mxu): one [6K,32]@[32,L] plane-dot matmul per
-      sublane row per leaf + a one-hot payload matmul. PT_TRAVERSAL=mxu;
+      (_packet_traverse_mxu): one [6K,128]@[128,L] plane-dot matmul per
+      live sublane row per leaf (lane-packed table, scratch-placed ray
+      coefficients) + a one-hot payload matmul. PT_TRAVERSAL=mxu;
       mesh scenes only (primitive scenes have no triangle pool).
     """
     import os
@@ -202,9 +203,10 @@ def traversal_mode(meta: SceneMeta) -> str:
 def _mxu_plane_arrays(xp, p1, e1, e2, n1, n2, n3, color, K):
     """Shared math for the MXU triangle tables (numpy or jnp `xp`).
 
-    Returns (a_rows [6*Ns, 8], pay_rows [16*n_leaves, 32]) where Ns is
-    the slot-pool size (= n_leaves * K; leaves own aligned contiguous
-    slot blocks — asserted by the callers).
+    Returns (a [nl, 6K, 8], pay [nl, 16, K]) per-leaf blocks, where the
+    slot pool is nl * K (leaves own aligned contiguous slot blocks —
+    asserted by the callers); _mxu_pack lane-packs them into the single
+    [rows, 128] VMEM table.
 
     A-row groups per leaf (contraction operand q = [o,1,d,0] per ray):
       g0 den   =  d.Ng          g1 num_t = -(o-P1).Ng
@@ -242,21 +244,66 @@ def _mxu_plane_arrays(xp, p1, e1, e2, n1, n2, n3, color, K):
         ddot(vv),                                   # g5 dv
     ]
     a = xp.stack(groups, axis=1)                    # [Ns, 6, 8]
-    a = a.reshape(nl, K, 6, 8).transpose(0, 2, 1, 3).reshape(6 * ns, 8)
+    a = a.reshape(nl, K, 6, 8).transpose(0, 2, 1, 3).reshape(nl, 6 * K, 8)
 
     pay = xp.concatenate([n1, n2 - n1, n3 - n1, color], axis=1)  # [Ns,12]
     pay = pay.reshape(nl, K, 12).transpose(0, 2, 1)              # [nl,12,K]
     pay = xp.concatenate(
         [pay, xp.zeros((nl, 4, K), dtype=p1.dtype)], axis=1)     # 16 rows
+    return a, pay
+
+
+def _mxu_leaves_per_block(K: int) -> Tuple[int, int]:
+    """(A-block, payload-block) leaves packed side by side on the 128
+    lanes of the MXU table: a leaf's A matrix is [6K, 8] (8 lanes), its
+    payload [16, K] (K lanes). Mosaic pads any VMEM array's minor dim to
+    128 lanes, so packing ~16 leaves per lane-block is what makes the
+    table ~16x smaller than a naive [6*Ns, 8] layout (which would cost
+    3 KB/tri physically — over VMEM for the benchmark meshes)."""
+    return 16, max(1, 128 // K)
+
+
+def _mxu_pack(xp, a, pay, K: int):
+    """Lane-pack per-leaf blocks into the single [rows, 128] table:
+
+      A region   rows [0, nab*6K):   table[B*6K + r, 8*j  + c] = a[16B+j,  r, c]
+      pay region rows [nab*6K, ..):  table[base + Bp*16 + r, K*jp + k] = pay[PLPB*Bp+jp, r, k]
+
+    The kernel extracts leaf b by placing its [8, L] ray-coefficient
+    matrix (or [K, L] one-hot) at sublane offset 8*(b%16) (K*(b%PLPB))
+    of a zeroed [128, L] scratch — the 128-lane contraction then reads
+    exactly leaf b's lanes against nonzero rows."""
+    ALPB, PLPB = _mxu_leaves_per_block(K)
+    nl = a.shape[0]
+    nab = -(-nl // ALPB)
+    npb = -(-nl // PLPB)
+    a = xp.concatenate(
+        [a, xp.zeros((nab * ALPB - nl,) + a.shape[1:], a.dtype)], axis=0)
+    a_pack = a.reshape(nab, ALPB, 6 * K, 8).transpose(0, 2, 1, 3)
+    a_pack = a_pack.reshape(nab * 6 * K, ALPB * 8)
     pay = xp.concatenate(
-        [pay, xp.zeros((nl, 16, 32 - K), dtype=p1.dtype)], axis=2)
-    return a, pay.reshape(16 * nl, 32)
+        [pay, xp.zeros((npb * PLPB - nl,) + pay.shape[1:], pay.dtype)],
+        axis=0)
+    p_pack = pay.reshape(npb, PLPB, 16, K).transpose(0, 2, 1, 3)
+    p_pack = p_pack.reshape(npb * 16, PLPB * K)
+    if PLPB * K < 128:
+        p_pack = xp.concatenate(
+            [p_pack, xp.zeros((p_pack.shape[0], 128 - PLPB * K),
+                              p_pack.dtype)], axis=1)
+    return xp.concatenate([a_pack, p_pack], axis=0)
+
+
+def _mxu_pay_base(n_slots: int, K: int) -> int:
+    """First row of the payload region in the packed MXU table."""
+    ALPB, _ = _mxu_leaves_per_block(K)
+    nl = n_slots // K
+    return -(-nl // ALPB) * 6 * K
 
 
 def build_mxu_tri_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
-    """Single VMEM table for the MXU leaf machine: A-plane rows
-    [0, 6*Ns) padded to 32 cols, then per-leaf payload blocks
-    [6*Ns + 16*b, +16). Replaces the classic 24-stride table when
+    """Single [rows, 128] VMEM table for the MXU leaf machine: the
+    lane-packed A-plane region then the lane-packed payload region
+    (_mxu_pack). Replaces the classic 24-stride table when
     traversal_mode(meta) == "mxu"."""
     K = meta.leaf_size
     ns = int(np.asarray(scn.tri_p1).shape[0])
@@ -265,8 +312,7 @@ def build_mxu_tri_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
     a, pay = _mxu_plane_arrays(
         np, f(scn.tri_p1), f(scn.tri_e1), f(scn.tri_e2), f(scn.tri_n1),
         f(scn.tri_n2), f(scn.tri_n3), f(scn.tri_color), K)
-    a32 = np.concatenate([a, np.zeros((a.shape[0], 24), np.float32)], 1)
-    return np.concatenate([a32, pay], axis=0)
+    return _mxu_pack(np, a, pay, K)
 
 
 def default_tile(meta: SceneMeta) -> Tuple[int, int]:
@@ -1002,18 +1048,26 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
                          root, end, tox, toy, toz, tdx, tdy, tdz,
                          active, bt0, oct_base=None):
     """Packet skip-link BVH walk with the leaf triangle tests on the
-    MXU (PT_TRAVERSAL=mxu; table layout build_mxu_tri_table).
+    MXU (PT_TRAVERSAL=mxu; table layout build_mxu_tri_table/_mxu_pack).
 
     The dual-basis hit test is six dot products per (triangle, ray) —
-    dense linear algebra. Per leaf visit and per sublane row s this does
-    ONE [6K,32]@[32,L] matmul against the loop-invariant coefficient
-    matrix q_s = [o,1,d,0,...] (built once per walk), giving all six
-    planes for all K triangles at once; the VPU tail runs on full
-    [K,L] slabs (t = num/den, barycentrics, validity), a sublane
-    min-reduce finds the closest hit, and payload (n1/deltas/color)
-    arrives via a one-hot [16,32]@[32,L] matmul. Exact ties average
-    their payload (the classic unroll keeps the first; both are valid
-    smooth-normal choices at a shared edge).
+    dense linear algebra. The packed table holds 16 leaves per A
+    lane-block and 128//K per payload lane-block (Mosaic pads any VMEM
+    minor dim to 128 lanes, so narrower layouts waste 4-16x physical
+    VMEM — enough to overflow it on the benchmark meshes). Per leaf
+    visit the kernel places the [8, L] ray-coefficient matrix
+    q_s = [o,1,d,0] (loop-invariant, built once per walk) at sublane
+    offset 8*(b%16) of a zeroed [128, L] scratch and runs ONE
+    [6K,128]@[128,L] matmul per live sublane row — the 128-lane
+    contraction reads exactly leaf b's lanes against nonzero rows,
+    giving all six planes for all K triangles at once. The VPU tail
+    runs on full [K,L] slabs (t = num/den, barycentrics, validity), a
+    sublane min-reduce finds the closest hit, and payload
+    (n1/deltas/color) arrives via a one-hot [16,128]@[128,L] matmul
+    with the [K, L] one-hot placed at sublane offset K*(b%PLPB) the
+    same way. Exact ties average their payload (the classic unroll
+    keeps the first; both are valid smooth-normal choices at a shared
+    edge).
 
     Same walk semantics/returns as _packet_traverse; no sub-packet
     gating (the matmul is monolithic per sublane row)."""
@@ -1036,17 +1090,17 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
     inv_dy = inv_safe(tdy)
     inv_dz = inv_safe(tdz)
 
-    # loop-invariant MXU coefficient matrices: rhs[s] = [32, L] with
-    # rows [ox,oy,oz,1,dx,dy,dz,0...] for sublane row s
-    pad_rows = jnp.zeros((25, L), jnp.float32)
-    rhs = [
+    # loop-invariant ray-coefficient blocks: qs[s] = [8, L] rows
+    # [ox,oy,oz,1,dx,dy,dz,0] for sublane row s
+    qs = [
         jnp.concatenate([
             tox[s:s + 1], toy[s:s + 1], toz[s:s + 1], one_row,
-            tdx[s:s + 1], tdy[s:s + 1], tdz[s:s + 1], pad_rows,
+            tdx[s:s + 1], tdy[s:s + 1], tdz[s:s + 1], zero_row,
         ], axis=0)
         for s in range(S)
     ]
-    pay_base = 6 * n_slots
+    ALPB, PLPB = _mxu_leaves_per_block(K)
+    pay_base = _mxu_pay_base(n_slots, K)
     dn = (((1,), (0,)), ((), ()))
 
     zeros = jnp.zeros((S, L), jnp.float32)
@@ -1056,105 +1110,124 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
     def tcond(st):
         return st[0] < end_e
 
-    def tbody(st):
-        idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
-        node = node_ref[pl.ds(idx, 1), :]
-        ax1 = (node[0, 0] - tox) * inv_dx
-        ax2 = (node[0, 3] - tox) * inv_dx
-        ay1 = (node[0, 1] - toy) * inv_dy
-        ay2 = (node[0, 4] - toy) * inv_dy
-        az1 = (node[0, 2] - toz) * inv_dz
-        az2 = (node[0, 5] - toz) * inv_dz
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(ax1, ax2), jnp.minimum(ay1, ay2)),
-            jnp.minimum(az1, az2))
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(ax1, ax2), jnp.maximum(ay1, ay2)),
-            jnp.maximum(az1, az2))
-        hitb = active & (tmin <= tmax) & (tmax > eps) & (tmin < bt)
-        anyhit = jnp.any(hitb)
-        is_leaf = node[0, 7] > 0.5
-        start = node[0, 6].astype(jnp.int32)
-        exitn = node[0, 8].astype(jnp.int32)
+    def scoped(q_scr, oh_scr):
+        q_scr[...] = jnp.zeros((128, L), jnp.float32)
+        oh_scr[...] = jnp.zeros((128, L), jnp.float32)
 
-        def leaf_fn(carry):
-            bt, gnx, gny, gnz, gcr, gcg, gcb = carry
-            arow = 6 * start
-            b = jax.lax.div(start, jnp.int32(K))
-            A = tri_ref[pl.ds(arow, 6 * K), :]                 # [6K,32]
-            P = tri_ref[pl.ds(pay_base + 16 * b, 16), :]       # [16,32]
-            rows = [[] for _ in range(7)]  # bt, nx, ny, nz, cr, cg, cb
+        def tbody(st):
+            idx, bt, gnx, gny, gnz, gcr, gcg, gcb = st
+            node = node_ref[pl.ds(idx, 1), :]
+            ax1 = (node[0, 0] - tox) * inv_dx
+            ax2 = (node[0, 3] - tox) * inv_dx
+            ay1 = (node[0, 1] - toy) * inv_dy
+            ay2 = (node[0, 4] - toy) * inv_dy
+            az1 = (node[0, 2] - toz) * inv_dz
+            az2 = (node[0, 5] - toz) * inv_dz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(ax1, ax2), jnp.minimum(ay1, ay2)),
+                jnp.minimum(az1, az2))
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(ax1, ax2), jnp.maximum(ay1, ay2)),
+                jnp.maximum(az1, az2))
+            hitb = active & (tmin <= tmax) & (tmax > eps) & (tmin < bt)
+            anyhit = jnp.any(hitb)
+            is_leaf = node[0, 7] > 0.5
+            start = node[0, 6].astype(jnp.int32)
+            exitn = node[0, 8].astype(jnp.int32)
 
-            def live_fn(s):
-                # per-sublane gating: under block tiling a sublane row is
-                # a compact 64x8 pixel strip, so rows whose rays all miss
-                # this leaf skip their matmul + tail entirely
-                out = jax.lax.dot_general(
-                    A, rhs[s], dn, preferred_element_type=jnp.float32)
-                den = out[0 * K:1 * K]
-                num_t = out[1 * K:2 * K]
-                ou = out[2 * K:3 * K]
-                du = out[3 * K:4 * K]
-                ov = out[4 * K:5 * K]
-                dv = out[5 * K:6 * K]
-                den_ok = jnp.abs(den) >= eps
-                f = 1.0 / jnp.where(den_ok, den, 1.0)
-                t = num_t * f
-                u = ou + t * du
-                v = ov + t * dv
-                hb_s = hitb[s:s + 1]
-                bt_s = bt[s:s + 1]
-                good = (hb_s & den_ok & (u >= 0.0) & (v >= 0.0)
-                        & (u + v <= 1.0) & (t > eps) & (t < t_max)
-                        & (t < bt_s))
-                tt = jnp.where(good, t, _BIG)
-                tmin_s = jnp.min(tt, axis=0, keepdims=True)    # [1,L]
-                hit_s = tmin_s < bt_s
-                oh = jnp.where(tt == tmin_s, 1.0, 0.0) \
-                    * good.astype(jnp.float32)                 # [K,L]
-                cnt = jnp.sum(oh, axis=0, keepdims=True)
-                inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
-                ohp = oh if K == 32 else jnp.concatenate(
-                    [oh, jnp.zeros((32 - K, L), jnp.float32)], axis=0)
-                pay = jax.lax.dot_general(
-                    P, ohp, dn, preferred_element_type=jnp.float32)
-                ub = jnp.sum(oh * u, axis=0, keepdims=True) * inv_cnt
-                vb = jnp.sum(oh * v, axis=0, keepdims=True) * inv_cnt
+            def leaf_fn(carry):
+                bt, gnx, gny, gnz, gcr, gcg, gcb = carry
+                b = jax.lax.div(start, jnp.int32(K))
+                ja = jax.lax.rem(b, jnp.int32(ALPB))
+                jp = jax.lax.rem(b, jnp.int32(PLPB))
+                arow = 6 * K * jax.lax.div(b, jnp.int32(ALPB))
+                prow_b = pay_base + 16 * jax.lax.div(b, jnp.int32(PLPB))
+                A = tri_ref[pl.ds(arow, 6 * K), :]             # [6K,128]
+                P = tri_ref[pl.ds(prow_b, 16), :]              # [16,128]
+                rows = [[] for _ in range(7)]  # bt,nx,ny,nz,cr,cg,cb
 
-                def prow(j):
-                    return pay[j:j + 1] * inv_cnt
+                def live_fn(s):
+                    # per-sublane gating: under block tiling a sublane
+                    # row is a compact 64x8 pixel strip, so rows whose
+                    # rays all miss this leaf skip their matmul + tail
+                    q_scr[pl.ds(8 * ja, 8), :] = qs[s]
+                    out = jax.lax.dot_general(
+                        A, q_scr[...], dn,
+                        preferred_element_type=jnp.float32)
+                    den = out[0 * K:1 * K]
+                    num_t = out[1 * K:2 * K]
+                    ou = out[2 * K:3 * K]
+                    du = out[3 * K:4 * K]
+                    ov = out[4 * K:5 * K]
+                    dv = out[5 * K:6 * K]
+                    den_ok = jnp.abs(den) >= eps
+                    f = 1.0 / jnp.where(den_ok, den, 1.0)
+                    t = num_t * f
+                    u = ou + t * du
+                    v = ov + t * dv
+                    hb_s = hitb[s:s + 1]
+                    bt_s = bt[s:s + 1]
+                    good = (hb_s & den_ok & (u >= 0.0) & (v >= 0.0)
+                            & (u + v <= 1.0) & (t > eps) & (t < t_max)
+                            & (t < bt_s))
+                    tt = jnp.where(good, t, _BIG)
+                    tmin_s = jnp.min(tt, axis=0, keepdims=True)  # [1,L]
+                    hit_s = tmin_s < bt_s
+                    oh = jnp.where(tt == tmin_s, 1.0, 0.0) \
+                        * good.astype(jnp.float32)               # [K,L]
+                    cnt = jnp.sum(oh, axis=0, keepdims=True)
+                    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+                    oh_scr[pl.ds(K * jp, K), :] = oh
+                    pay = jax.lax.dot_general(
+                        P, oh_scr[...], dn,
+                        preferred_element_type=jnp.float32)
+                    ub = jnp.sum(oh * u, axis=0, keepdims=True) * inv_cnt
+                    vb = jnp.sum(oh * v, axis=0, keepdims=True) * inv_cnt
 
-                nx_s = prow(0) + ub * prow(3) + vb * prow(6)
-                ny_s = prow(1) + ub * prow(4) + vb * prow(7)
-                nz_s = prow(2) + ub * prow(5) + vb * prow(8)
-                return (jnp.where(hit_s, tmin_s, bt_s),
-                        jnp.where(hit_s, nx_s, gnx[s:s + 1]),
-                        jnp.where(hit_s, ny_s, gny[s:s + 1]),
-                        jnp.where(hit_s, nz_s, gnz[s:s + 1]),
-                        jnp.where(hit_s, prow(9), gcr[s:s + 1]),
-                        jnp.where(hit_s, prow(10), gcg[s:s + 1]),
-                        jnp.where(hit_s, prow(11), gcb[s:s + 1]))
+                    def prow(j):
+                        return pay[j:j + 1] * inv_cnt
 
-            for s in range(S):
-                vals = jax.lax.cond(
-                    jnp.any(hitb[s]),
-                    lambda _, s=s: live_fn(s),
-                    lambda _, s=s: (bt[s:s + 1], gnx[s:s + 1],
-                                    gny[s:s + 1], gnz[s:s + 1],
-                                    gcr[s:s + 1], gcg[s:s + 1],
-                                    gcb[s:s + 1]),
-                    0)
-                for w, val in zip(rows, vals):
-                    w.append(val)
-            return tuple(jnp.concatenate(w, axis=0) for w in rows)
+                    nx_s = prow(0) + ub * prow(3) + vb * prow(6)
+                    ny_s = prow(1) + ub * prow(4) + vb * prow(7)
+                    nz_s = prow(2) + ub * prow(5) + vb * prow(8)
+                    return (jnp.where(hit_s, tmin_s, bt_s),
+                            jnp.where(hit_s, nx_s, gnx[s:s + 1]),
+                            jnp.where(hit_s, ny_s, gny[s:s + 1]),
+                            jnp.where(hit_s, nz_s, gnz[s:s + 1]),
+                            jnp.where(hit_s, prow(9), gcr[s:s + 1]),
+                            jnp.where(hit_s, prow(10), gcg[s:s + 1]),
+                            jnp.where(hit_s, prow(11), gcb[s:s + 1]))
 
-        carry = jax.lax.cond(
-            anyhit & is_leaf, leaf_fn, lambda cr: cr,
-            (bt, gnx, gny, gnz, gcr, gcg, gcb))
-        nidx = jnp.where(anyhit, idx + 1, exitn)
-        return (nidx,) + carry
+                for s in range(S):
+                    vals = jax.lax.cond(
+                        jnp.any(hitb[s]),
+                        lambda _, s=s: live_fn(s),
+                        lambda _, s=s: (bt[s:s + 1], gnx[s:s + 1],
+                                        gny[s:s + 1], gnz[s:s + 1],
+                                        gcr[s:s + 1], gcg[s:s + 1],
+                                        gcb[s:s + 1]),
+                        0)
+                    for w, val in zip(rows, vals):
+                        w.append(val)
+                # restore the zeroed scratches for the next leaf (whose
+                # lane-block offsets ja/jp will differ)
+                q_scr[pl.ds(8 * ja, 8), :] = jnp.zeros((8, L),
+                                                       jnp.float32)
+                oh_scr[pl.ds(K * jp, K), :] = jnp.zeros((K, L),
+                                                        jnp.float32)
+                return tuple(jnp.concatenate(w, axis=0) for w in rows)
 
-    st = jax.lax.while_loop(tcond, tbody, init)
+            carry = jax.lax.cond(
+                anyhit & is_leaf, leaf_fn, lambda cr: cr,
+                (bt, gnx, gny, gnz, gcr, gcg, gcb))
+            nidx = jnp.where(anyhit, idx + 1, exitn)
+            return (nidx,) + carry
+
+        return jax.lax.while_loop(tcond, tbody, init)
+
+    st = pl.run_scoped(scoped,
+                       pltpu.VMEM((128, L), jnp.float32),
+                       pltpu.VMEM((128, L), jnp.float32))
     return st[1], st[2], st[3], st[4], st[5], st[6], st[7]
 
 
@@ -1902,9 +1975,7 @@ def scene_tables_jnp(scn: SceneArrays, meta: SceneMeta,
         a, pay = _mxu_plane_arrays(
             jnp, f(scn.tri_p1), e1, e2, f(scn.tri_n1), f(scn.tri_n2),
             f(scn.tri_n3), f(scn.tri_color), K)
-        a32 = jnp.concatenate(
-            [a, jnp.zeros((a.shape[0], 24), jnp.float32)], axis=1)
-        tris = jnp.concatenate([a32, pay], axis=0)
+        tris = _mxu_pack(jnp, a, pay, K)
     return obj, nodes, tris
 
 
