@@ -245,15 +245,26 @@ def test_octant_copy_parity():
         np.testing.assert_allclose(toc, t0, rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("scene", ["teapot", "gopher"])
-def test_mxu_traverse_matches_brute_force(scene):
+@pytest.mark.parametrize("scene,leaf", [
+    ("teapot", None),    # default K=32
+    ("gopher", None),    # default K=16 (8 payload leaves per lane-block)
+    ("teapot", 64),      # K > 32: multiple MXU row-tiles per leaf
+    ("teapot", 128),     # K = 128: one payload leaf per lane-block
+])
+def test_mxu_traverse_matches_brute_force(scene, leaf):
     """The MXU leaf machine (_packet_traverse_mxu + build_mxu_tri_table)
     must return the same closest hits as the brute-force oracle — same
-    dual-basis test expressed as matmuls. Covers both leaf sizes
-    (teapot K=32, gopher K=16 -> one-hot zero-padding path)."""
+    dual-basis test expressed as matmuls. Covers the default leaf sizes
+    and the large-leaf configurations the hardware sweep A/Bs (the
+    lane-packed table supports any K <= 128)."""
     cfg = RenderConfig(width=16, height=12, samples=1, samples_per_pass=1)
     sc = get_scene(scene, cfg)
-    arrays, meta = sc.pack()
+    if leaf is None:
+        arrays, meta = sc.pack()
+    else:
+        from pathtracer_tpu.scene.pack import pack_scene
+
+        arrays, meta = pack_scene(sc.objects, leaf_size=leaf)
     S, L = 8, 256
     n = S * L
     o, d = _rays_toward_mesh(arrays, n, seed=5)
