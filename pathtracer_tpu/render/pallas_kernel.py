@@ -1167,36 +1167,55 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
                     v = ov + t * dv
                     hb_s = hitb[s:s + 1]
                     bt_s = bt[s:s + 1]
+                    # upper t bound folds t_max and the running best-t
+                    # into one [K,L] compare
+                    t_hi = jnp.minimum(bt_s, t_max)
                     good = (hb_s & den_ok & (u >= 0.0) & (v >= 0.0)
-                            & (u + v <= 1.0) & (t > eps) & (t < t_max)
-                            & (t < bt_s))
+                            & (u + v <= 1.0) & (t > eps) & (t < t_hi))
                     tt = jnp.where(good, t, _BIG)
                     tmin_s = jnp.min(tt, axis=0, keepdims=True)  # [1,L]
                     hit_s = tmin_s < bt_s
-                    oh = jnp.where(tt == tmin_s, 1.0, 0.0) \
-                        * good.astype(jnp.float32)               # [K,L]
-                    cnt = jnp.sum(oh, axis=0, keepdims=True)
-                    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
-                    oh_scr[pl.ds(K * jp, K), :] = oh
-                    pay = jax.lax.dot_general(
-                        P, oh_scr[...], dn,
-                        preferred_element_type=jnp.float32)
-                    ub = jnp.sum(oh * u, axis=0, keepdims=True) * inv_cnt
-                    vb = jnp.sum(oh * v, axis=0, keepdims=True) * inv_cnt
 
-                    def prow(j):
-                        return pay[j:j + 1] * inv_cnt
+                    def upd_fn(_):
+                        # payload resolve only when some ray improved
+                        # its best-t: with front-to-back octant order
+                        # most later leaf visits lose to best-t and
+                        # skip the one-hot + payload matmul entirely
+                        oh = jnp.where(tt == tmin_s, 1.0, 0.0) \
+                            * good.astype(jnp.float32)           # [K,L]
+                        cnt = jnp.sum(oh, axis=0, keepdims=True)
+                        inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+                        oh_scr[pl.ds(K * jp, K), :] = oh
+                        pay = jax.lax.dot_general(
+                            P, oh_scr[...], dn,
+                            preferred_element_type=jnp.float32)
+                        ub = jnp.sum(oh * u, axis=0,
+                                     keepdims=True) * inv_cnt
+                        vb = jnp.sum(oh * v, axis=0,
+                                     keepdims=True) * inv_cnt
 
-                    nx_s = prow(0) + ub * prow(3) + vb * prow(6)
-                    ny_s = prow(1) + ub * prow(4) + vb * prow(7)
-                    nz_s = prow(2) + ub * prow(5) + vb * prow(8)
-                    return (jnp.where(hit_s, tmin_s, bt_s),
-                            jnp.where(hit_s, nx_s, gnx[s:s + 1]),
-                            jnp.where(hit_s, ny_s, gny[s:s + 1]),
-                            jnp.where(hit_s, nz_s, gnz[s:s + 1]),
-                            jnp.where(hit_s, prow(9), gcr[s:s + 1]),
-                            jnp.where(hit_s, prow(10), gcg[s:s + 1]),
-                            jnp.where(hit_s, prow(11), gcb[s:s + 1]))
+                        def prow(j):
+                            return pay[j:j + 1] * inv_cnt
+
+                        nx_s = prow(0) + ub * prow(3) + vb * prow(6)
+                        ny_s = prow(1) + ub * prow(4) + vb * prow(7)
+                        nz_s = prow(2) + ub * prow(5) + vb * prow(8)
+                        return (jnp.where(hit_s, tmin_s, bt_s),
+                                jnp.where(hit_s, nx_s, gnx[s:s + 1]),
+                                jnp.where(hit_s, ny_s, gny[s:s + 1]),
+                                jnp.where(hit_s, nz_s, gnz[s:s + 1]),
+                                jnp.where(hit_s, prow(9), gcr[s:s + 1]),
+                                jnp.where(hit_s, prow(10),
+                                          gcg[s:s + 1]),
+                                jnp.where(hit_s, prow(11),
+                                          gcb[s:s + 1]))
+
+                    return jax.lax.cond(
+                        jnp.any(hit_s), upd_fn,
+                        lambda _: (bt_s, gnx[s:s + 1], gny[s:s + 1],
+                                   gnz[s:s + 1], gcr[s:s + 1],
+                                   gcg[s:s + 1], gcb[s:s + 1]),
+                        0)
 
                 for s in range(S):
                     vals = jax.lax.cond(
