@@ -339,3 +339,28 @@ def test_subblock_chunks_are_compact():
         cy = py[0, :, j * 128:(j + 1) * 128]
         assert cx.max() - cx.min() == 31
         assert cy.max() - cy.min() == 31
+
+
+def test_megakernel_mxu_matches_classic_cpu_interpret(monkeypatch):
+    """Full-kernel traversal-machine parity: the same mesh render (same
+    seed, same software PRNG stream) through the classic and the MXU
+    leaf machines must produce near-identical images — the machines may
+    differ only in exact-tie payload handling (first vs averaged), so
+    the per-pixel MAD bound is tight. Complements the isolated-walk
+    oracle tests in test_packet_traverse.py by exercising the env
+    switch, the table builders, and the in-kernel dispatch together."""
+    cfg = RenderConfig(width=24, height=16, samples=2, samples_per_pass=2)
+    sc = get_scene("teapot", cfg)
+    arrays, meta = sc.pack()
+    assert supports_scene(meta)
+
+    monkeypatch.delenv("PT_TRAVERSAL", raising=False)
+    img_c = render_pallas(arrays, meta, sc.camera, cfg, tile=(8, 128),
+                          interpret=True)
+    monkeypatch.setenv("PT_TRAVERSAL", "mxu")
+    img_m = render_pallas(arrays, meta, sc.camera, cfg, tile=(8, 128),
+                          interpret=True)
+
+    assert np.isfinite(img_m).all() and img_m.min() >= 0.0
+    d = np.abs(img_m - img_c).mean()
+    assert d < 1e-4, f"traversal machines diverge: MAD {d}"
