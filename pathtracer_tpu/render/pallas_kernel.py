@@ -366,6 +366,12 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
       sub-packet leaf gating in _packet_traverse conds triangle work
       per chunk, so chunk-compactness shrinks the unions that gating
       acts on (primary rays especially).
+    - "rowblock" — like "block", but each SUBLANE ROW of the tile is a
+      compact sub-rectangle (an (8,512) tile's 64x64 block becomes a
+      2x4 grid of 32x16 row-rects) instead of a 64x8 stripe. The MXU
+      leaf machine (_packet_traverse_mxu) gates its matmul + tail per
+      sublane row, so row-compactness shrinks the unions ITS gating
+      acts on.
     - None/"auto" — PT_TILE_ORDER env override, else "block".
 
     rows is padded to a multiple of S*shard_granule so shard_map can
@@ -378,7 +384,7 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
     tile_sz = S * L
     n_pix = W * H
 
-    if order in ("block", "subblock"):
+    if order in ("block", "subblock", "rowblock"):
         side = int(math.isqrt(tile_sz))
         while tile_sz % side:
             side -= 1
@@ -389,7 +395,18 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
         b = k // tile_sz                  # block id
         i = k % tile_sz                   # slot within block
         nc = L // 128 if (L % 128 == 0 and L > 128) else 1
-        if order == "subblock" and nc > 1:
+        S_rows = tile_sz // L
+        if order == "rowblock" and S_rows > 1:
+            # sublane row s = one compact (bw/gx) x (bh/gy) rect
+            s, l = i // L, i % L
+            gx = int(math.isqrt(S_rows))
+            while S_rows % gx:
+                gx -= 1
+            gy = S_rows // gx             # gx*gy row-rect grid
+            rw, rh = bw // gx, bh // gy   # rw*rh == L always
+            ix = (s % gx) * rw + l % rw
+            iy = (s // gx) * rh + l // rw
+        elif order == "subblock" and nc > 1:
             # permute slots so lane chunk j = one compact sub-block:
             # slot i = s*L + 128*j + m  ->  sub-block j, local p=s*128+m
             s, l = i // L, i % L

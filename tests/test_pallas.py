@@ -214,7 +214,7 @@ def test_tile_pixel_layout_roundtrip():
     from pathtracer_tpu.render.pallas_kernel import (tile_pixel_layout,
                                                      untile_image)
 
-    for order in ("block", "linear", "subblock"):
+    for order in ("block", "linear", "subblock", "rowblock"):
         for (W, H, S, L) in [(33, 25, 8, 128), (64, 48, 8, 512),
                              (1280, 960, 8, 512), (17, 3, 8, 128)]:
             px, py, pid = tile_pixel_layout(W, H, S, L, order=order)
@@ -364,3 +364,19 @@ def test_megakernel_mxu_matches_classic_cpu_interpret(monkeypatch):
     assert np.isfinite(img_m).all() and img_m.min() >= 0.0
     d = np.abs(img_m - img_c).mean()
     assert d < 1e-4, f"traversal machines diverge: MAD {d}"
+
+
+def test_rowblock_rows_are_compact():
+    """Each sublane row of a rowblock-ordered tile must cover a compact
+    sub-rectangle (the point of the order: the MXU leaf machine gates
+    per sublane row, so row-compactness shrinks the unions its gating
+    acts on)."""
+    from pathtracer_tpu.render.pallas_kernel import tile_pixel_layout
+
+    S, L = 8, 512
+    px, py, pid = tile_pixel_layout(128, 128, S, L, order="rowblock")
+    px = px.reshape(-1, S, L)
+    py = py.reshape(-1, S, L)
+    for s in range(S):
+        cx, cy = px[0, s], py[0, s]
+        assert (cx.max() - cx.min() + 1) * (cy.max() - cy.min() + 1) == L
