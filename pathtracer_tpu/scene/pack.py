@@ -244,6 +244,11 @@ def pack_scene(
     no = max_objects or max(16, n)
     assert n <= no, f"{n} objects > padded capacity {no}"
 
+    if leaf_size is None and os.environ.get("PT_BVH_LEAF"):
+        # explicit override for hardware leaf-size A/Bs (the MXU leaf
+        # machine supports K up to 128; bench.py/CLI runs pick it up
+        # without a code edit)
+        leaf_size = int(os.environ["PT_BVH_LEAF"])
     if leaf_size is None:
         # swept on TPU packet traversal (docs/PERFORMANCE.md): small
         # meshes prefer fatter leaves (scalar node iterations dominate),
