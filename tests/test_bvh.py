@@ -207,3 +207,19 @@ def test_octant_node_orders_equivalent():
         base_starts = walk(o, d, 0)
         for k in range(1, 9):
             assert walk(o, d, k * nn) == base_starts, (trial, k)
+
+
+def test_pt_bvh_leaf_env_override(monkeypatch):
+    """PT_BVH_LEAF overrides the packed leaf size (hardware leaf-size
+    A/Bs drive bench.py/CLI without code edits)."""
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.scenes import get_scene
+
+    cfg = RenderConfig(width=16, height=12, samples=1, samples_per_pass=1)
+    sc = get_scene("teapot", cfg)
+    monkeypatch.setenv("PT_BVH_LEAF", "64")
+    _, meta = sc.pack()
+    assert meta.leaf_size == 64
+    monkeypatch.delenv("PT_BVH_LEAF")
+    _, meta2 = sc.pack()
+    assert meta2.leaf_size == 32  # small-mesh default
