@@ -380,3 +380,35 @@ def test_rowblock_rows_are_compact():
     for s in range(S):
         cx, cy = px[0, s], py[0, s]
         assert (cx.max() - cx.min() + 1) * (cy.max() - cy.min() + 1) == L
+
+
+def test_render_sharded_pallas_mxu_cpu_mesh(monkeypatch):
+    """Distributed megakernel under PT_TRAVERSAL=mxu on a virtual CPU
+    mesh (interpret mode): the sharded MXU render must match the
+    single-device classic render — pre-validates flipping the default
+    traversal for mesh scenes without losing the distributed path."""
+    from jax.sharding import Mesh
+    from pathtracer_tpu.parallel.render_dist import render_sharded_pallas
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = RenderConfig(width=24, height=16, samples=4, samples_per_pass=4)
+    sc = get_scene("default", cfg)  # triangle group -> packet BVH
+    arrays, meta = sc.pack()
+    assert supports_scene(meta)
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1),
+                ("pixels", "spp"))
+    monkeypatch.delenv("PT_TRAVERSAL", raising=False)
+    img_c = render_sharded_pallas(arrays, meta, sc.camera, cfg, mesh,
+                                  interpret=True)
+    monkeypatch.setenv("PT_TRAVERSAL", "mxu")
+    img_m = render_sharded_pallas(arrays, meta, sc.camera, cfg, mesh,
+                                  interpret=True)
+
+    assert img_m.shape == img_c.shape == (16, 24, 3)
+    assert np.isfinite(img_m).all() and img_m.min() >= 0.0
+    # identical sharding and PRNG streams: the two traversal machines
+    # may differ only in exact-tie payload handling
+    d = np.abs(img_m - img_c).mean()
+    assert d < 1e-4, f"sharded-mxu vs sharded-classic MAD {d}"
