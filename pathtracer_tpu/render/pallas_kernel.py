@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -860,8 +861,12 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
     slot when `return_slot`."""
     shape = tox.shape
     # vreg-aligned sub-packets: lane dim in 128-lane chunks
+    # (PT_SUBPACKET=0 forces one monolithic chunk — isolates the
+    # per-chunk gating's cond overhead in hardware A/Bs)
     nc = shape[-1] // 128 if (shape[-1] % 128 == 0 and shape[-1] > 128) \
         else 1
+    if os.environ.get("PT_SUBPACKET") == "0":
+        nc = 1
     c_shape = (shape[0], shape[-1] // nc)
     zero = jnp.zeros(c_shape, jnp.float32)
     any_pre = jnp.any(active)
