@@ -331,7 +331,10 @@ def render_sharded_pallas(
     S, L = pk.default_tile(meta)
     n_pix_shards = mesh.shape["pixels"]
     spp_axis = mesh.shape["spp"]
-    local_spp = max(1, cfg.samples // spp_axis)
+    # round the per-shard budget UP like the driver does
+    # (driver.py segment rounding): flooring silently under-delivered
+    # the requested sample count when samples % spp_axis != 0
+    local_spp = max(1, -(-cfg.samples // spp_axis))
     total_spp = local_spp * spp_axis
 
     # tile rows padded so each pixel shard holds a whole number of tiles

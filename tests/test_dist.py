@@ -166,3 +166,28 @@ def test_driver_with_mesh_recovers_from_fault(setup, monkeypatch):
                                    mesh=mesh)
     assert stats.recoveries == 1
     np.testing.assert_array_equal(img_ok, img_rec)
+
+
+def test_render_sharded_pallas_rounds_spp_up(setup, monkeypatch):
+    """Non-divisible sample budgets must round the per-shard spp UP
+    (driver.py behavior), not floor it: samples=5 over a 2-way 'spp'
+    axis must deliver >= 5 samples (3 per shard), not 4."""
+    from pathtracer_tpu.parallel.render_dist import render_sharded_pallas
+    from pathtracer_tpu.render import pallas_kernel as pk
+
+    cfg, sc, arrays, meta = setup
+    captured = {}
+    real = pk.trace_tiles
+
+    def spy(seed, cam, obj, nodes, tris, px, py, **kw):
+        captured["spp"] = kw["spp"]
+        return real(seed, cam, obj, nodes, tris, px, py, **kw)
+
+    # render_sharded_pallas resolves pk.trace_tiles at call time
+    monkeypatch.setattr(pk, "trace_tiles", spy)
+    mesh = make_mesh()  # (4, 2): spp axis size 2
+    odd = cfg.replace(samples=5, samples_per_pass=8)
+    img = render_sharded_pallas(arrays, meta, sc.camera, odd, mesh,
+                                interpret=True)
+    assert captured["spp"] == 3       # ceil(5 / 2), was floor -> 2
+    assert np.isfinite(img).all()
