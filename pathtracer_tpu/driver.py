@@ -170,8 +170,7 @@ def render_driver(
         or (cfg.backend == "auto"
             and cfg.dtype == "float32"
             and jax.devices()[0].platform == "tpu"
-            and not cfg.nee           # NEE lives in the wavefront path
-            and cfg.debug_ray < 0     # so does the per-ray probe
+            and cfg.debug_ray < 0     # the per-ray probe is wavefront-only
             and pk.supports_scene(meta))
     )
     backend_name = "pallas" if use_pallas else "wavefront"

@@ -53,7 +53,13 @@ from ..scene.shapes import BOX, CYLINDER, GROUP, PLANE, SPHERE
 #   33    max_y
 #   34-36 group bbox min (local space; GROUP objects only)
 #   37-39 group bbox max
-_OBJ_COLS = 40
+#   40-42 forward-transform translation (world light origin; NEE,
+#         tracer.cl:790)
+#   43    light scale = max diagonal of the forward transform
+#         (tracer.cl:791)
+#   44    forward transform [0,0] (NEE attenuation heuristic,
+#         tracer.cl:819)
+_OBJ_COLS = 45
 
 # SMEM camera vector layout:
 #   0-11 inverse (3x4 row-major), 12 pixel_size, 13 half_width,
@@ -115,6 +121,11 @@ def build_scene_table(scn: SceneArrays, meta: SceneMeta) -> np.ndarray:
     out[:, 33] = np.asarray(scn.max_y)[:n]
     out[:, 34:37] = np.asarray(scn.bb_min)[:n]
     out[:, 37:40] = np.asarray(scn.bb_max)[:n]
+    tr = np.asarray(scn.transform, dtype=np.float32)
+    out[:, 40:43] = tr[:n, :3, 3]
+    out[:, 43] = np.maximum(np.maximum(tr[:n, 0, 0], tr[:n, 1, 1]),
+                            tr[:n, 2, 2])
+    out[:, 44] = tr[:n, 0, 0]
     return out
 
 
@@ -1671,6 +1682,101 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 srr = srr + jnp.where(no_refr, mask_r * emi_r, 0.0)
                 srg = srg + jnp.where(no_refr, mask_g * emi_g, 0.0)
                 srb = srb + jnp.where(no_refr, mask_b * emi_b, 0.0)
+
+                # ---- optional next-event estimation (tracer.cl:786-829;
+                # the reference ships with the call disabled,
+                # tracer.cl:1168) — statically elided unless cfg.nee.
+                # One full shadow traversal per light per bounce:
+                # capability parity with the reference's experimental
+                # estimator, exactly as biased (the BSDF light hit is
+                # NOT shadow-discounted), using the PRE-update mask and
+                # the post-texture surface color like the wavefront
+                # path (integrator._next_event_estimation).
+                if cfg.nee and meta.light_indices:
+                    nee_cond = no_refr & ~is_light
+                    for li, l in enumerate(meta.light_indices):
+                        nu1 = _uniform(shape, 6 + 2 * li, n, b)
+                        nu2 = _uniform(shape, 7 + 2 * li, n, b)
+                        # randomPointOnSphere (tracer.cl:321-336) kept
+                        # verbatim incl. its latitude offset; acos via
+                        # the kernel polynomial (_acos)
+                        lat = _acos(2.0 * nu1 - 1.0) - 2.0 * math.pi
+                        lon = 2.0 * math.pi * nu2
+                        cl = jnp.cos(lat)
+                        scale_by = obj_ref[l, 43]
+                        lpx = obj_ref[l, 40] + cl * jnp.cos(lon) * scale_by
+                        lpy = obj_ref[l, 41] \
+                            + (jnp.sin(lat) - math.pi * 0.25) * scale_by
+                        lpz = obj_ref[l, 42] + cl * jnp.sin(lon) * scale_by
+                        sdx, sdy, sdz = _normalize(lpx - wx, lpy - wy,
+                                                   lpz - wz)
+                        sox = wx + sdx * eps
+                        soy = wy + sdy * eps
+                        soz = wz + sdz * eps
+                        ldn = _dot(sdx, sdy, sdz, nx, ny, nz)
+                        # nearest shadow hit over the whole scene: the
+                        # same static unroll as the main intersect, t
+                        # and winning index only
+                        s_best = jnp.full(shape, _BIG, jnp.float32)
+                        s_idx = jnp.full(shape, -1, jnp.int32)
+                        for j, code in enumerate(obj_types):
+                            m = [obj_ref[j, k] for k in range(12)]
+                            stox, stoy, stoz = _mat12_point(
+                                m, sox, soy, soz)
+                            stdx, stdy, stdz = _mat12_vec(
+                                m, sdx, sdy, sdz)
+                            if code == PLANE:
+                                t_s = _plane_t(stoy, stdy, eps)
+                            elif code == SPHERE:
+                                t_s = _sphere_t(stox, stoy, stoz,
+                                                stdx, stdy, stdz, eps)
+                            elif code == CYLINDER:
+                                t_s = _cylinder_t(
+                                    stox, stoy, stoz, stdx, stdy, stdz,
+                                    obj_ref[j, 32], obj_ref[j, 33], eps)
+                            elif code == BOX:
+                                t_s = _box_t(stox, stoy, stoz,
+                                             stdx, stdy, stdz, eps)
+                            else:  # GROUP: bbox pretest + packet walk
+                                x1, x2 = _axis_slab(
+                                    stox, stdx, obj_ref[j, 34],
+                                    obj_ref[j, 37], eps)
+                                y1, y2 = _axis_slab(
+                                    stoy, stdy, obj_ref[j, 35],
+                                    obj_ref[j, 38], eps)
+                                z1, z2 = _axis_slab(
+                                    stoz, stdz, obj_ref[j, 36],
+                                    obj_ref[j, 39], eps)
+                                gtmin = jnp.maximum(
+                                    jnp.maximum(x1, y1), z1)
+                                gtmax = jnp.minimum(
+                                    jnp.minimum(x2, y2), z2)
+                                pre = (nee_cond & (gtmin <= gtmax)
+                                       & (gtmax > eps)
+                                       & (gtmin < s_best))
+                                root, end = group_bvh[j]
+                                t_s = traverse_packet(
+                                    root, end, stox, stoy, stoz,
+                                    stdx, stdy, stdz, pre, s_best)[0]
+                            s_closer = t_s < s_best
+                            s_best = jnp.where(s_closer, t_s, s_best)
+                            s_idx = jnp.where(s_closer, j, s_idx)
+                        visible = (nee_cond & (ldn > 0.0) & (s_idx == l)
+                                   & (s_best > eps) & (s_best < t_max))
+                        sxl = obj_ref[l, 44]
+                        atten = 1.0 - s_best / jnp.sqrt(
+                            s_best * s_best + sxl * sxl)
+                        w_nee = ldn * atten
+                        srr = srr + jnp.where(
+                            visible,
+                            mask_r * col_r * obj_ref[l, 27] * w_nee, 0.0)
+                        srg = srg + jnp.where(
+                            visible,
+                            mask_g * col_g * obj_ref[l, 28] * w_nee, 0.0)
+                        srb = srb + jnp.where(
+                            visible,
+                            mask_b * col_b * obj_ref[l, 29] * w_nee, 0.0)
+
                 direct = no_refr & is_light & (n_hits == 0)
                 srr = jnp.where(direct, col_r, srr)
                 srg = jnp.where(direct, col_g, srg)
@@ -1982,6 +2088,13 @@ def scene_tables_jnp(scn: SceneArrays, meta: SceneMeta,
         f(scn.refractive_index[:n, None]), f(scn.reflectivity[:n, None]),
         f(scn.min_y[:n, None]), f(scn.max_y[:n, None]),
         f(scn.bb_min[:n]), f(scn.bb_max[:n]),
+        # NEE light columns (40-44): forward translation, max-diag
+        # scale, and [0,0] for the attenuation heuristic
+        f(scn.transform[:n, :3, 3]),
+        f(jnp.maximum(jnp.maximum(scn.transform[:n, 0, 0],
+                                  scn.transform[:n, 1, 1]),
+                      scn.transform[:n, 2, 2])[:, None]),
+        f(scn.transform[:n, 0, 0][:, None]),
     ], axis=1)
     if not meta.has_groups:
         return (obj, jnp.zeros((1, _NODE_COLS), jnp.float32),

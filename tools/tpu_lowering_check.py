@@ -84,7 +84,90 @@ def check(scene: str) -> bool:
     return ok
 
 
+def check_nee(scene: str) -> bool:
+    """Lower the megakernel with in-kernel NEE (per-light shadow
+    traversal; exercises _acos/sin/cos + the extra unrolled intersect)."""
+    cfg = RenderConfig(width=64, height=48, samples=8, samples_per_pass=8,
+                       nee=True)
+    sc = get_scene(scene, cfg)
+    arrays, meta = sc.pack()
+    if not pk.supports_scene(meta) or not meta.light_indices:
+        print(f"[{scene}] NEE SKIP")
+        return True
+    S, L = pk.default_tile(meta)
+    xs, ys, _pid = pk.tile_pixel_layout(cfg.width, cfg.height, S, L,
+                                        order=pk.default_order(meta))
+    obj, nodes, tris = pk.scene_tables_jnp(
+        arrays, meta, traversal=pk.traversal_mode(meta))
+    cam = jnp.asarray(pk.build_camera_vec(sc.camera))
+
+    def fn(seed, cam, obj, nodes, tris, px, py):
+        r, g, b = pk.trace_tiles(seed, cam, obj, nodes, tris, px, py,
+                                 meta=meta, cfg=cfg, spp=8,
+                                 total_samples=cfg.samples, tile=(S, L))
+        return r + g + b
+
+    args = (jnp.asarray([0, 0], jnp.int32), cam, obj, nodes, tris,
+            jnp.asarray(xs), jnp.asarray(ys))
+    try:
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        print(f"[{scene}] NEE megakernel TPU lowering OK "
+              f"({len(exp.mlir_module())} bytes)")
+        return True
+    except Exception as e:  # noqa: BLE001 — report and continue
+        msg = str(e).splitlines()[0][:300]
+        print(f"[{scene}] NEE megakernel TPU lowering FAILED: "
+              f"{type(e).__name__}: {msg}")
+        return False
+
+
+def check_grad(scene: str, tri: bool, spp: int) -> bool:
+    """Lower the fused differentiable megakernel's fwd+bwd (grad_tiles);
+    tri=True exercises the per-(sample, bounce) triangle tape with spp
+    samples per launch (dynamic plane-offset output stores)."""
+    from pathtracer_tpu.render import pallas_grad as pg
+
+    cfg = RenderConfig(width=64, height=48, samples=spp,
+                       samples_per_pass=spp)
+    sc = get_scene(scene, cfg)
+    arrays, meta = sc.pack()
+    if not pk.supports_scene(meta):
+        print(f"[{scene}] grad SKIP")
+        return True
+    S, L = (8, 512)
+    xs, ys, _pid = pk.tile_pixel_layout(cfg.width, cfg.height, S, L)
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta,
+                                           traversal="classic")
+    cam = jnp.asarray(pk.build_camera_vec(sc.camera))
+    z = jnp.zeros(xs.shape, jnp.float32)
+
+    def fn(seed, cam, obj, nodes, tris, px, py, cr, cg, cb):
+        return pg.grad_tiles(seed, cam, obj, nodes, tris, px, py,
+                             cr, cg, cb, meta=meta, cfg=cfg, spp=spp,
+                             total_samples=cfg.samples, tile=(S, L),
+                             tri_grads=tri)[0]
+
+    args = (jnp.asarray([0, 0], jnp.int32), cam, obj, nodes, tris,
+            jnp.asarray(xs), jnp.asarray(ys), z, z, z)
+    tag = f"grad(tri={tri}, spp={spp})"
+    try:
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        print(f"[{scene}] {tag} TPU lowering OK "
+              f"({len(exp.mlir_module())} bytes)")
+        return True
+    except Exception as e:  # noqa: BLE001 — report and continue
+        msg = str(e).splitlines()[0][:300]
+        print(f"[{scene}] {tag} TPU lowering FAILED: "
+              f"{type(e).__name__}: {msg}")
+        return False
+
+
 if __name__ == "__main__":
     scenes = sys.argv[1:] or ["reference", "teapot", "gopher"]
     ok = all([check(s) for s in scenes])
+    # new-path coverage: in-kernel NEE, fused grad, batched tri tape
+    if not sys.argv[1:]:
+        ok &= check_nee("reference")
+        ok &= check_grad("reference", tri=False, spp=8)
+        ok &= check_grad("teapot", tri=True, spp=4)
     sys.exit(0 if ok else 1)
