@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
@@ -175,15 +176,17 @@ def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
     return step, target_of
 
 
-def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=8,
-                             tile=(8, 512), lr=0.05, interpret=False):
+def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=2,
+                             tile=(8, 512), lr=0.05, interpret=False,
+                             spp=4):
     """SGD step on (color, emission, PER-TRIANGLE color) through the
     differentiable megakernel's tri mode (pallas_grad.
-    make_diff_render_tri). The per-triangle backward tape holds one
-    entry per (ray, bounce), so each kernel launch renders ONE sample;
-    the step accumulates `n_passes` launches with distinct PRNG streams
-    (common-random-number across step invocations — same seed, same
-    estimator, the property inverse rendering needs).
+    make_diff_render_tri). Each kernel launch renders `spp` samples
+    (the per-(sample, bounce) tri tape streams to HBM; the VMEM block
+    budget caps spp per launch); the step accumulates `n_passes`
+    launches with distinct PRNG streams (common-random-number across
+    step invocations — same seed, same estimator, the property inverse
+    rendering needs). Total samples per step = n_passes * spp.
 
     Returns (step, target_of): step(color, emission, tri_color,
     seed_i32 [2], target_rgb) -> (new_color, new_emission,
@@ -201,11 +204,12 @@ def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=8,
     cam_vec = jnp.asarray(pk.build_camera_vec(camera))
     # the grad megakernel's traversal is classic-only
     obj, nodes, tris = pk.scene_tables_jnp(scn, meta, traversal="classic")
-    render = make_diff_render_tri(meta, cfg, n_passes, tile,
-                                  interpret=interpret)
+    total = n_passes * spp
+    render = make_diff_render_tri(meta, cfg, total, tile,
+                                  interpret=interpret, spp=spp)
     valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
     n_valid = float(valid.sum())
-    inv = 1.0 / float(n_passes)
+    inv = 1.0 / float(total)
 
     target_of = _make_target_of(pid, px.shape)
 
@@ -214,9 +218,9 @@ def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=8,
         gacc = jnp.zeros(px.shape, jnp.float32)
         bacc = jnp.zeros(px.shape, jnp.float32)
         for i in range(n_passes):
-            # distinct PRNG stream per pass; pass index doubles as the
-            # DoF sunflower sample base
-            sd = jnp.stack([seed[0] + i * 7919, seed[1] + i])
+            # distinct PRNG stream per pass; the DoF sunflower base
+            # advances by the launch's spp samples
+            sd = jnp.stack([seed[0] + i * 7919, seed[1] + i * spp])
             r, g, b = render(color, emission, tri_color, sd, cam_vec,
                              obj, nodes, tris, px, py)
             racc = racc + r
@@ -236,6 +240,99 @@ def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=8,
         gc, ge, gt = grads
         return (color - lr * gc, emission - lr * ge,
                 tri_color - lr * gt, loss)
+
+    return step, target_of
+
+
+def make_sharded_megakernel_step(scn, meta, cfg, camera, mesh: Mesh, spp,
+                                 tile=(8, 512), lr=0.05, interpret=False):
+    """Distributed SGD step on (color, emission) through the FUSED
+    DIFFERENTIABLE MEGAKERNEL (render/pallas_grad.py) — the fast
+    estimator (~23x the wavefront AD path), shard_mapped over
+    ('pixels','spp') with psum-reduced gradients riding ICI.
+
+    Layout mirrors render_sharded_pallas: tile rows sharded over
+    'pixels' (shard_granule keeps whole tiles per shard), the sample
+    budget split over 'spp' (per-rank local_spp = ceil(spp/axis), each
+    rank an independent estimate), scene tables replicated. Per-shard
+    pathwise grads are psum'd over 'pixels' and pmean'd over 'spp'
+    INSIDE the step so XLA overlaps the collectives with the backward
+    pass (north-star dimension: fwd+bwd with gradient psum over ICI —
+    the reference, internal/ocl/tracer.cl, has no gradients at all).
+
+    Returns (step, target_of): step(color, emission, seed [2] i32,
+    target) -> (new_color, new_emission, loss), jitted over the mesh;
+    target_of(img [H, W, 3]) -> tiled (tr, tg, tb) in the step's
+    sharded layout. `interpret` runs the kernel in interpret mode with
+    the software PRNG (the CPU-mesh test/dryrun path).
+    """
+    from ..render import pallas_kernel as pk
+    from ..render.pallas_grad import make_diff_render
+
+    W, H = camera.width, camera.height
+    S, L = tile
+    n_pix_shards = mesh.shape["pixels"]
+    spp_axis = mesh.shape["spp"]
+    local_spp = max(1, -(-spp // spp_axis))   # round UP (driver behavior)
+    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
+                                       shard_granule=n_pix_shards,
+                                       order=pk.default_order(meta))
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(camera))
+    # the grad megakernel's traversal is classic-only
+    obj, nodes, tris = pk.scene_tables_jnp(scn, meta, traversal="classic")
+    render = make_diff_render(meta, cfg, local_spp, cfg.samples, tile,
+                              interpret=interpret)
+    valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
+    n_valid = float(np.sum(pid >= 0))
+    inv_spp = 1.0 / float(local_spp)
+
+    target_of = _make_target_of(pid, px.shape)
+
+    def body(color, emission, seed, cam_vec, obj, nodes, tris,
+             px_s, py_s, valid_s, tr, tg, tb):
+        pix_rank = jax.lax.axis_index("pixels")
+        spp_rank = jax.lax.axis_index("spp")
+        # independent PRNG stream per (pixel shard, spp rank); the DoF
+        # sunflower base gives each spp rank its slice of the samples
+        sd = jnp.stack([
+            seed[0] * 7919 + pix_rank * jnp.int32(spp_axis)
+            + spp_rank + 1,
+            seed[1] + spp_rank * jnp.int32(local_spp),
+        ])
+
+        def local_loss(color, emission):
+            r, g, b = render(color, emission, sd, cam_vec, obj, nodes,
+                             tris, px_s, py_s)
+            dr = (r * inv_spp - tr) * valid_s
+            dg = (g * inv_spp - tg) * valid_s
+            db = (b * inv_spp - tb) * valid_s
+            # normalized by the GLOBAL valid-pixel count: the psum over
+            # 'pixels' then reassembles the full-image MSE
+            return (jnp.sum(dr * dr) + jnp.sum(dg * dg)
+                    + jnp.sum(db * db)) / (3.0 * n_valid)
+
+        loss, (gc, ge) = jax.value_and_grad(local_loss, argnums=(0, 1))(
+            color, emission)
+        loss = jax.lax.pmean(jax.lax.psum(loss, "pixels"), "spp")
+        gc = jax.lax.pmean(jax.lax.psum(gc, "pixels"), "spp")
+        ge = jax.lax.pmean(jax.lax.psum(ge, "pixels"), "spp")
+        return color - lr * gc, emission - lr * ge, loss
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(),
+                  P("pixels"), P("pixels"), P("pixels"),
+                  P("pixels"), P("pixels"), P("pixels")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # bounce-loop carry VMA (see render_dist.py)
+    ))
+
+    def step(color, emission, seed, target):
+        tr, tg, tb = target
+        return fn(color, emission, seed, cam_vec, obj, nodes, tris,
+                  px, py, valid, tr, tg, tb)
 
     return step, target_of
 

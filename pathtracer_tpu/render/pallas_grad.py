@@ -73,8 +73,9 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
     XLA-side segment-sum in grad_tiles. Per-triangle accumulators can't
     live in VMEM ([Nt,3] with Nt in the thousands and no per-lane
     scatter on this hardware), so the scatter-add runs outside the
-    kernel; requires spp == 1 per launch (one tape slot per
-    (ray, bounce))."""
+    kernel. The tape holds one plane per (sample, bounce): spp samples
+    per launch stream spp*max_b planes per tile (VMEM block budget
+    bounds spp — see grad_tiles)."""
     obj_types = meta.obj_types
     group_bvh = {g: (r, e) for g, r, e in meta.group_bvh}
     leaf_rows = meta.leaf_size // pk._TRI_SLOTS_PER_ROW
@@ -545,16 +546,19 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                     # (grad_tiles) — no per-lane scatter on-core
                     wt = t_wtri[bb]
                     tri_upd = updf & (wt >= 0.0) & ~direct_any
-                    # bb is a static Python int (unrolled backward
-                    # loop), so these are fully static stores into the
-                    # (1, max_b[*3], S, L) output blocks
-                    tslot_out[0, bb] = wt
-                    tgrad_out[0, 3 * bb] = jnp.where(
-                        tri_upd, cot_r * cosb * mr * T_r, zero)
-                    tgrad_out[0, 3 * bb + 1] = jnp.where(
-                        tri_upd, cot_g * cosb * mg * T_g, zero)
-                    tgrad_out[0, 3 * bb + 2] = jnp.where(
-                        tri_upd, cot_b * cosb * mb * T_b, zero)
+                    # plane index = sample*max_b + bounce: bb is a
+                    # static Python int (unrolled backward loop), n the
+                    # dynamic fori_loop sample — dynamic sublane-offset
+                    # stores into the 3-D (spp*max_b[*3], S, L) output
+                    # blocks (same pattern as the t_c tape writes)
+                    pb = n * max_b + bb
+                    tslot_out[pl.ds(pb, 1)] = wt[None]
+                    tgrad_out[pl.ds(pb * 3, 1)] = jnp.where(
+                        tri_upd, cot_r * cosb * mr * T_r, zero)[None]
+                    tgrad_out[pl.ds(pb * 3 + 1, 1)] = jnp.where(
+                        tri_upd, cot_g * cosb * mg * T_g, zero)[None]
+                    tgrad_out[pl.ds(pb * 3 + 2, 1)] = jnp.where(
+                        tri_upd, cot_b * cosb * mb * T_b, zero)[None]
 
                 for j in range(n_obj):
                     mobj = win == float(j)
@@ -627,8 +631,15 @@ def grad_tiles(
     n_obj = meta.n_objects
     max_b = cfg.max_bounces
     if tri_grads:
-        assert spp == 1, "tri_grads needs one sample per launch " \
-            "(per-(ray,bounce) tape); accumulate samples across calls"
+        # the per-(sample, bounce) tape lives in the output VMEM block
+        # while a tile is in flight: 4 planes (slot + rgb) x spp x max_b
+        # x S x L x 4 B. Cap the per-launch budget so the block fits
+        # comfortably (~4 MB at (8, 512), spp=8, max_b=5); accumulate
+        # more samples across launches.
+        tape_mb = spp * max_b * 4 * S * L * 4 / 2**20
+        assert tape_mb <= 6.0, (
+            f"tri tape block {tape_mb:.1f} MB exceeds the VMEM budget; "
+            f"lower spp per launch (accumulate across calls)")
     kernel = _make_grad_kernel(meta, cfg, spp, total_samples, tile,
                                tri_grads=tri_grads)
 
@@ -640,16 +651,20 @@ def grad_tiles(
     ]
     out_shape = [jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32)]
     if tri_grads:
+        # 3-D plane-major tapes (mixed dynamic+static indexing on 4-D
+        # refs is fragile in Mosaic): tile i owns plane rows
+        # [i*spp*max_b, (i+1)*spp*max_b) — index_map is in block units
         out_specs += [
-            pl.BlockSpec((1, max_b, S, L), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((spp * max_b, S, L), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, max_b * 3, S, L),
-                         lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((spp * max_b * 3, S, L),
+                         lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((n_tiles, max_b, S, L), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, max_b * 3, S, L),
+            jax.ShapeDtypeStruct((n_tiles * spp * max_b, S, L),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * spp * max_b * 3, S, L),
                                  jnp.float32),
         ]
     scratch = [
@@ -698,16 +713,16 @@ def grad_tiles(
     if not tri_grads:
         return gcol, gemi
 
-    # XLA-side scatter-add of the per-(ray, bounce) triangle tape
+    # XLA-side scatter-add of the per-(sample, ray, bounce) tri tape
     tslot, tgrad = outs[1], outs[2]
     n_slots = tri_table.shape[0] * pk._TRI_SLOTS_PER_ROW
     idx = tslot.reshape(-1).astype(jnp.int32)
     valid = (idx >= 0) & (idx < n_slots)
     idx = jnp.where(valid, idx, n_slots)     # overflow bucket, dropped
-    gv = tgrad.reshape(n_tiles, max_b, 3, S, L)
+    gv = tgrad.reshape(n_tiles * spp * max_b, 3, S, L)
     chans = []
     for c in range(3):
-        gc = jnp.where(valid, gv[:, :, c].reshape(-1), 0.0)
+        gc = jnp.where(valid, gv[:, c].reshape(-1), 0.0)
         chans.append(jax.ops.segment_sum(
             gc, idx, num_segments=n_slots + 1)[:n_slots])
     return gcol, gemi, jnp.stack(chans, axis=1)
@@ -728,6 +743,9 @@ def make_diff_render(meta: SceneMeta, cfg: RenderConfig, spp: int,
     assert pk.traversal_mode(meta) == "classic", \
         "differentiable megakernel replay is classic-traversal only " \
         "(tables are classic layout); unset PT_TRAVERSAL"
+    assert not cfg.nee, \
+        "differentiable megakernel does not replay NEE shadow draws " \
+        "(train with nee=False or via the wavefront AD path)"
     assert not meta.textured_types and not meta.has_normal_maps, \
         "differentiable megakernel does not replay texture programs " \
         "(train textures via the wavefront AD path, diff/grad.py)"
@@ -800,19 +818,20 @@ def _assemble_tri(tri_table: jnp.ndarray,
 @functools.lru_cache(maxsize=None)
 def make_diff_render_tri(meta: SceneMeta, cfg: RenderConfig,
                          total_samples: int, tile: Tuple[int, int],
-                         interpret: bool = False):
+                         interpret: bool = False, spp: int = 1):
     """custom_vjp megakernel render differentiable in (object color,
     object emission, per-triangle color).
 
     Same contract as make_diff_render plus a tri_color [n_slots, 3]
     input (n_slots = tri-pool slots = SceneArrays.tri_color rows,
     alignment padding included — padded slots never win a hit, so
-    their gradients are exactly zero). Fixed at ONE sample per call:
-    the backward's per-triangle tape has one entry per (ray, bounce)
-    (grad_tiles tri_grads); accumulate samples by calling in a loop
-    (scan) over seeds — gradients add through AD as usual. The tri
-    table must be in CLASSIC layout (the grad kernel's replay walks
-    _packet_traverse).
+    their gradients are exactly zero). `spp` samples per kernel launch
+    (the backward's per-triangle tape streams one plane per
+    (sample, bounce) to HBM; the VMEM output-block budget caps spp per
+    launch — see grad_tiles); accumulate more samples by calling in a
+    loop (scan) over seeds — gradients add through AD as usual. The
+    tri table must be in CLASSIC layout (the grad kernel's replay
+    walks _packet_traverse).
 
     Returns fn(color [No,3], emission [No,3], tri_color [Ns,3],
     seed [2] i32, cam_vec, obj_table, nodes, tris, px, py)
@@ -822,6 +841,9 @@ def make_diff_render_tri(meta: SceneMeta, cfg: RenderConfig,
     assert pk.traversal_mode(meta) == "classic", \
         "differentiable megakernel replay is classic-traversal only " \
         "(tables are classic layout); unset PT_TRAVERSAL"
+    assert not cfg.nee, \
+        "differentiable megakernel does not replay NEE shadow draws " \
+        "(train with nee=False or via the wavefront AD path)"
     assert not meta.textured_types and not meta.has_normal_maps, \
         "differentiable megakernel does not replay texture programs " \
         "(train textures via the wavefront AD path, diff/grad.py)"
@@ -839,7 +861,7 @@ def make_diff_render_tri(meta: SceneMeta, cfg: RenderConfig,
         tri = _assemble_tri(tris, tri_color)
         return pk.trace_tiles(
             seed, cam_vec, obj, nodes, tri, px, py, meta=meta_nd,
-            cfg=cfg, spp=1, total_samples=total_samples, tile=tile,
+            cfg=cfg, spp=spp, total_samples=total_samples, tile=tile,
             interpret=interpret)
 
     def fwd(color, emission, tri_color, seed, cam_vec, obj_table,
@@ -859,7 +881,7 @@ def make_diff_render_tri(meta: SceneMeta, cfg: RenderConfig,
         gcol, gemi, gtri = grad_tiles(
             seed, cam_vec, obj, nodes, tri, px, py,
             cot_r, cot_g, cot_b,
-            meta=meta_nd, cfg=cfg, spp=1, total_samples=total_samples,
+            meta=meta_nd, cfg=cfg, spp=spp, total_samples=total_samples,
             tile=tile, tri_grads=True, interpret=interpret)
         gc = jnp.zeros_like(color).at[:n].set(gcol.astype(color.dtype))
         ge = jnp.zeros_like(emission).at[:n].set(

@@ -421,3 +421,128 @@ def test_megakernel_grad_agrees_with_wavefront_ad():
         assert big.any()
         rel = np.abs(mk[big] - wf[big]) / np.abs(wf[big])
         assert np.median(rel) < 0.25, (name, rel, mk[big], wf[big])
+
+
+def test_sharded_megakernel_step_matches_single_device():
+    """The SHARDED fused differentiable megakernel step
+    (diff/grad.make_sharded_megakernel_step) on a trivial (1,1) mesh is
+    bit-identical to make_megakernel_step: same tile layout, same
+    estimator, and the (pix_rank=0, spp_rank=0) seed recipe collapses to
+    seed[0]*7919 + 1 — so feeding the single-device step that adjusted
+    seed reproduces the sharded step exactly."""
+    from pathtracer_tpu.diff.grad import (make_megakernel_step,
+                                          make_sharded_megakernel_step)
+    from pathtracer_tpu.parallel import make_mesh
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup(samples=4)
+    mesh = make_mesh(jax.devices()[:1], shape=(1, 1))
+    sstep, starget_of = make_sharded_megakernel_step(
+        arrays, meta, cfg, sc.camera, mesh, spp=4, tile=TILE, lr=0.2,
+        interpret=True)
+    lstep, ltarget_of = make_megakernel_step(
+        arrays, meta, cfg, sc.camera, spp=4, tile=TILE, lr=0.2,
+        interpret=True)
+
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    rng = np.random.default_rng(3)
+    img = rng.random((cfg.height, cfg.width, 3)).astype(np.float32)
+
+    sc_, se_, sloss = sstep(color, emission,
+                            jnp.asarray([5, 0], jnp.int32),
+                            starget_of(img))
+    lc_, le_, lloss = lstep(color, emission,
+                            jnp.asarray([5 * 7919 + 1, 0], jnp.int32),
+                            ltarget_of(img))
+    assert float(sloss) == float(lloss)
+    np.testing.assert_array_equal(np.asarray(sc_), np.asarray(lc_))
+    np.testing.assert_array_equal(np.asarray(se_), np.asarray(le_))
+
+
+def test_sharded_megakernel_step_descends_cpu_mesh():
+    """The sharded fused step on the full (4,2) CPU mesh: gradients are
+    psum'd over 'pixels' and pmean'd over 'spp', the loss is finite, and
+    a few steps from perturbed colors toward a true-color target
+    descend."""
+    from pathtracer_tpu.diff.grad import make_sharded_megakernel_step
+    from pathtracer_tpu.parallel import make_mesh
+    from pathtracer_tpu.render.pallas_grad import make_diff_render
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup(samples=8)
+    mesh = make_mesh()  # (4, 2)
+    step, target_of = make_sharded_megakernel_step(
+        arrays, meta, cfg, sc.camera, mesh, spp=8, tile=TILE, lr=0.3,
+        interpret=True)
+
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    # target: the true-color image from the single-device estimator
+    # (independent RNG streams -> the minimum is at the true colors only
+    # in expectation; the perturbation is large relative to MC noise)
+    render = make_diff_render(meta, cfg, 8, cfg.samples, TILE,
+                              interpret=True)
+    r, g, b = render(color, emission, jnp.asarray([11, 0], jnp.int32),
+                     cam_vec, obj, nodes, tris, px, py)
+    img = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    w = np.asarray(pid) >= 0
+    flat = np.asarray(pid).ravel()
+    for ch, v in enumerate((r, g, b)):
+        np.add.at(img.reshape(-1, 3)[:, ch], flat[w.ravel()],
+                  np.asarray(v).ravel()[w.ravel()] / 8.0)
+    target = target_of(img)
+
+    c = color.at[1, 0].add(0.4).at[6, 2].add(-0.3)
+    losses = []
+    for i in range(4):
+        c, e, loss = step(c, emission, jnp.asarray([21, 0], jnp.int32),
+                          target)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert not np.allclose(np.asarray(c), np.asarray(color.at[1, 0]
+                                                     .add(0.4)
+                                                     .at[6, 2].add(-0.3)))
+
+
+def test_tri_grad_batched_spp_fd_cpu_interpret():
+    """Per-triangle gradients with MULTIPLE samples per launch (the
+    per-(sample, bounce) tape, grad_tiles spp>1) vs central finite
+    differences — same common-random-number exactness as the spp=1
+    path, one launch instead of four."""
+    from pathtracer_tpu.render.pallas_grad import make_diff_render_tri
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup_mesh(samples=4)
+    render = make_diff_render_tri(meta, cfg, cfg.samples, TILE,
+                                  interpret=True, spp=4)
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    tri_color = jnp.asarray(arrays.tri_color, jnp.float32)
+    sd = jnp.asarray([40, 0], jnp.int32)
+
+    rng = np.random.default_rng(2)
+    wr, wg, wb = (jnp.asarray(rng.random(px.shape), jnp.float32)
+                  for _ in range(3))
+
+    def loss(tc):
+        r, g, b = render(color, emission, tc, sd, cam_vec, obj,
+                         nodes, tris, px, py)
+        return jnp.sum(r * wr) + jnp.sum(g * wg) + jnp.sum(b * wb)
+
+    gt = np.asarray(jax.grad(loss)(tri_color))
+    assert np.isfinite(gt).all()
+    assert np.abs(gt).max() > 0, "no triangle gradient at all"
+
+    flat = np.abs(gt).ravel()
+    picks = np.argsort(flat)[-2:]
+    h = 2e-3
+    for p in picks:
+        s, c = divmod(int(p), 3)
+        delta = jnp.zeros_like(tri_color).at[s, c].set(h)
+        g_fd = float((loss(tri_color + delta)
+                      - loss(tri_color - delta)) / (2 * h))
+        g_an = float(gt[s, c])
+        scale = max(abs(g_fd), abs(g_an), 1e-3)
+        assert abs(g_fd - g_an) / scale < 5e-2, (s, c, g_fd, g_an)
