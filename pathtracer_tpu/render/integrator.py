@@ -181,6 +181,12 @@ def _fetch_object_attrs(scn: SceneArrays, oi: jnp.ndarray) -> ObjAttrs:
         table, onehot,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=dt,
+        # HIGHEST is load-bearing: TPU DEFAULT matmul precision is
+        # bf16, which would round the fetched values to 8 mantissa
+        # bits — inv_t transform entries (geometry!) and tex_base
+        # pool offsets (integers > 256) must come back exact. The
+        # contraction dim is only n_objects, so the cost is nil.
+        precision=jax.lax.Precision.HIGHEST,
     )                                            # [C, R]
 
     return ObjAttrs(

@@ -841,13 +841,14 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
     Two cost-model refinements over the naive packet walk (both A/B'd on
     hardware, docs/PERFORMANCE.md):
 
-    - SUB-PACKET LEAF GATING: the tile's lane dim is split into
+    - SUB-PACKET LEAF GATING (opt-in, PT_SUBPACKET=1 — it LOST the
+      round-3 hardware A/B by 25%): the tile's lane dim is split into
       vreg-sized (128-lane) chunks, each carrying its own slab mask and
       best-t, and each leaf's triangle tests run under a PER-CHUNK
       lax.cond. A leaf pays vector work only for the sub-packets that
-      actually overlap it — the packet-union cost model then applies at
-      128-ray granularity while the scalar walk stays shared (the part
-      that made genuinely smaller packets lose).
+      actually overlap it — but on hardware the per-chunk cond overhead
+      exceeds the skipped vector work, so the monolithic walk ships as
+      the default.
     - DUAL-BASIS TRIANGLE TEST: build_mesh_tables precomputes, per
       triangle, the geometric normal Ng = E1 x E2 and the in-plane dual
       basis (U, V) with U.E1 = 1, U.E2 = 0 (and symmetrically V), so the
@@ -871,13 +872,16 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
     (_make_intersect_kernel). Returns (t, nx, ny, nz, cr, cg, cb) plus
     slot when `return_slot`."""
     shape = tox.shape
-    # vreg-aligned sub-packets: lane dim in 128-lane chunks
-    # (PT_SUBPACKET=0 forces one monolithic chunk — isolates the
-    # per-chunk gating's cond overhead in hardware A/Bs)
-    nc = shape[-1] // 128 if (shape[-1] % 128 == 0 and shape[-1] > 128) \
-        else 1
-    if os.environ.get("PT_SUBPACKET") == "0":
-        nc = 1
+    # Sub-packet gating is OFF by default: the round-3 hardware A/B
+    # measured the monolithic walk 25% FASTER (teapot 3.29 vs 2.63
+    # Ms/s) — the per-chunk lax.cond overhead exceeds the vector work
+    # it skips on this hardware, the reverse of what the CPU
+    # exact-replay simulator predicted. PT_SUBPACKET=1 re-enables
+    # vreg-aligned 128-lane chunk gating for A/Bs.
+    nc = 1
+    if (os.environ.get("PT_SUBPACKET") == "1"
+            and shape[-1] % 128 == 0 and shape[-1] > 128):
+        nc = shape[-1] // 128
     c_shape = (shape[0], shape[-1] // nc)
     zero = jnp.zeros(c_shape, jnp.float32)
     any_pre = jnp.any(active)
@@ -1184,9 +1188,14 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
                     # row is a compact 64x8 pixel strip, so rows whose
                     # rays all miss this leaf skip their matmul + tail
                     q_scr[pl.ds(8 * ja, 8), :] = qs[s]
+                    # HIGHEST: TPU DEFAULT matmul precision is bf16;
+                    # den/num/t decide hit-vs-miss, so operand rounding
+                    # visibly changes the image (measured: gopher mean
+                    # 0.266 vs classic 0.289 before this)
                     out = jax.lax.dot_general(
                         A, q_scr[...], dn,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
                     den = out[0 * K:1 * K]
                     num_t = out[1 * K:2 * K]
                     ou = out[2 * K:3 * K]
@@ -1216,16 +1225,30 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
                         # skip the one-hot + payload matmul entirely
                         oh = jnp.where(tt == tmin_s, 1.0, 0.0) \
                             * good.astype(jnp.float32)           # [K,L]
-                        cnt = jnp.sum(oh, axis=0, keepdims=True)
+
+                        # sublane sums via a [1,K]@[K,L] matmul: the
+                        # Mosaic backend rejects float ADD
+                        # multi_reductions whose input layout carries a
+                        # sublane offset (inherited here from the
+                        # [s:s+1] row slices); matmul operands get
+                        # relaid out automatically
+                        ones_k = jnp.ones((1, K), jnp.float32)
+
+                        def sum0(x):
+                            return jax.lax.dot_general(
+                                ones_k, x, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+                        cnt = sum0(oh)
                         inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
                         oh_scr[pl.ds(K * jp, K), :] = oh
                         pay = jax.lax.dot_general(
                             P, oh_scr[...], dn,
-                            preferred_element_type=jnp.float32)
-                        ub = jnp.sum(oh * u, axis=0,
-                                     keepdims=True) * inv_cnt
-                        vb = jnp.sum(oh * v, axis=0,
-                                     keepdims=True) * inv_cnt
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                        ub = sum0(oh * u) * inv_cnt
+                        vb = sum0(oh * v) * inv_cnt
 
                         def prow(j):
                             return pay[j:j + 1] * inv_cnt
