@@ -177,7 +177,10 @@ def render_driver(
     # slot->pixel layout identity for checkpoint validation (the pallas
     # paths tile and reorder pixels; see _checkpoint_save)
     layout_tag = (
-        "tile%dx%d:%s" % (*pk.default_tile(meta), pk.default_order(meta))
+        "tile%dx%d:%s:pack%d" % (
+            *pk.default_tile(meta), pk.default_order(meta),
+            min(pk.default_pack(meta, spp_chunk),
+                pk.default_tile(meta)[0]))
         if use_pallas else "linear"
     )
     spp_axis = 1
@@ -226,8 +229,12 @@ def render_driver(
         pass  # sharded segment built above
     elif use_pallas:
         S, L = pk.default_tile(meta)
+        # packing must divide every segment's spp = n * spp_chunk, so
+        # clamp it to the chunk (and the sublane count)
+        pack = min(pk.default_pack(meta, spp_chunk), S)
         xs2, ys2, pid = pk.tile_pixel_layout(W, H, S, L,
-                                             order=pk.default_order(meta))
+                                             order=pk.default_order(meta),
+                                             spp_pack=pack)
         px2 = jnp.asarray(xs2)
         py2 = jnp.asarray(ys2)
         padded_pixels = pid.shape[0]
@@ -252,7 +259,7 @@ def render_driver(
             r, g, b = pk.trace_tiles(
                 seed, cam_vec, obj_table, nodes, tris, px2, py2,
                 meta=meta, cfg=cfg, spp=int(n) * spp_chunk,
-                total_samples=cfg.samples, tile=(S, L),
+                total_samples=cfg.samples, tile=(S, L), spp_pack=pack,
             )
             return Vec3(r.reshape(-1), g.reshape(-1), b.reshape(-1))
     else:

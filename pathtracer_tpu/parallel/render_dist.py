@@ -336,12 +336,16 @@ def render_sharded_pallas(
     # the requested sample count when samples % spp_axis != 0
     local_spp = max(1, -(-cfg.samples // spp_axis))
     total_spp = local_spp * spp_axis
+    # sample-in-rows packing (pallas_kernel.default_pack): must divide
+    # the per-shard sample budget and the sublane count
+    pack = min(pk.default_pack(meta, local_spp), S)
 
     # tile rows padded so each pixel shard holds a whole number of tiles
     n_pix = W * H
     xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
                                        shard_granule=n_pix_shards,
-                                       order=pk.default_order(meta))
+                                       order=pk.default_order(meta),
+                                       spp_pack=pack)
 
     shard = NamedSharding(mesh, P("pixels"))
     rep = NamedSharding(mesh, P())
@@ -375,7 +379,7 @@ def render_sharded_pallas(
         r, g, b = pk.trace_tiles(
             jnp.stack([seed, base]), cam_vec, obj, nodes, tris, px_s, py_s,
             meta=meta, cfg=cfg, spp=local_spp, total_samples=cfg.samples,
-            tile=(S, L), interpret=interpret,
+            tile=(S, L), spp_pack=pack, interpret=interpret,
         )
         return (jax.lax.psum(r, "spp"), jax.lax.psum(g, "spp"),
                 jax.lax.psum(b, "spp"))

@@ -352,13 +352,38 @@ def default_order(meta: SceneMeta) -> str:
         "PT_TILE_ORDER", "block" if meta.has_groups else "linear")
 
 
+def default_pack(meta: SceneMeta, spp: int = None) -> int:
+    """Sample-in-rows packing factor (see _make_kernel). Mesh scenes
+    default to 8 — each (8,512) tile then traces 8 samples of one
+    compact 32x16-pixel rect, halving the packet's traversal union
+    (tools/spp_pack_sim.py; hardware A/B in docs/PERFORMANCE.md).
+    Primitive scenes have no traversal, so packing only shrinks the
+    early-exit granularity — keep 1. PT_SPP_PACK overrides; the factor
+    is clamped to divide spp when given."""
+    import os
+
+    pack = int(os.environ.get("PT_SPP_PACK",
+                              "8" if meta.has_groups else "1"))
+    if spp is not None:
+        while pack > 1 and spp % pack:
+            pack //= 2
+    return max(1, pack)
+
+
 def tile_pixel_layout(W: int, H: int, S: int, L: int,
-                      shard_granule: int = 1, order: str = None):
+                      shard_granule: int = 1, order: str = None,
+                      spp_pack: int = 1):
     """Assign pixels to ray tiles.
 
     Returns (px [rows, L] i32, py [rows, L] i32, pid [rows*L] i64) where
     pid maps each tile slot to its flat pixel index (-1 = padding slot;
     padding renders a duplicate pixel and is dropped by untile_image).
+
+    spp_pack=s > 1 (sample-in-rows packing, see _make_kernel): each
+    (S, L) tile carries only S*L/s distinct pixels — one compact block
+    laid out for an (S/s, L) sub-tile, repeated across the s sublane-row
+    groups. Replicated slots share the pixel id, so untile_image SUMS
+    them (each slot holds spp/s of the pixel's spp samples).
 
     order:
     - "linear" — scanline order (tile = S*L consecutive pixels, ~3 full
@@ -393,6 +418,29 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
 
     if order is None:
         order = os.environ.get("PT_TILE_ORDER", "block")
+    if spp_pack > 1:
+        if S % spp_pack:
+            raise ValueError(f"spp_pack={spp_pack} must divide S={S}")
+        Ss = S // spp_pack
+        xs, ys, pid = tile_pixel_layout(W, H, Ss, L, order=order)
+        n_tiles = xs.shape[0] // Ss
+        rep = lambda a: np.ascontiguousarray(np.broadcast_to(  # noqa: E731
+            a.reshape(n_tiles, 1, Ss, L),
+            (n_tiles, spp_pack, Ss, L)).reshape(-1, L))
+        xs = rep(xs)
+        ys = rep(ys)
+        pid = np.ascontiguousarray(
+            np.broadcast_to(pid.reshape(n_tiles, 1, Ss * L),
+                            (n_tiles, spp_pack, Ss * L))).reshape(-1)
+        extra_t = (-n_tiles) % shard_granule
+        if extra_t:   # pad with whole dummy tiles for even sharding
+            xs = np.concatenate(
+                [xs, np.full((extra_t * S, L), W - 1, np.int32)])
+            ys = np.concatenate(
+                [ys, np.full((extra_t * S, L), H - 1, np.int32)])
+            pid = np.concatenate(
+                [pid, np.full(extra_t * S * L, -1, pid.dtype)])
+        return xs, ys, pid
     tile_sz = S * L
     n_pix = W * H
 
@@ -458,10 +506,15 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
 
 def untile_image(flat: np.ndarray, pid: np.ndarray, W: int, H: int
                  ) -> np.ndarray:
-    """Scatter tiled per-slot values [rows*L, C] back to [H*W, C]."""
+    """Scatter tiled per-slot values [rows*L, C] back to [H*W, C].
+
+    Accumulating scatter: sample-in-rows packing (tile_pixel_layout
+    spp_pack > 1) legitimately maps several slots to one pixel, each
+    holding a partial sample sum — duplicates ADD. Unpacked layouts
+    have unique valid pids, for which this is the plain scatter."""
     out = np.zeros((W * H, flat.shape[-1]), dtype=flat.dtype)
     valid = pid >= 0
-    out[pid[valid]] = flat[valid]
+    np.add.at(out, pid[valid], flat[valid])
     return out
 
 
@@ -1307,8 +1360,20 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
 
 
 def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
-                 total_samples: int, tile: Tuple[int, int]):
-    """Build the tile kernel body closed over static scene structure."""
+                 total_samples: int, tile: Tuple[int, int],
+                 spp_pack: int = 1):
+    """Build the tile kernel body closed over static scene structure.
+
+    spp_pack > 1 = sample-in-rows packing: the caller's pixel layout
+    (tile_pixel_layout(spp_pack=s)) repeats one compact block of
+    S*L/s pixels across s sublane-row groups, so each wave of the
+    sample loop traces s samples of a block s-fold smaller. Packet
+    traversal pays the UNION of the tile's ray visits, and the union
+    of a 32x16-pixel block's rays is ~half that of a 64x64 block's
+    (tools/spp_pack_sim.py: 0.50x leaf visits for teapot at s=8) —
+    same total rays, same estimator, the per-ray PRNG streams already
+    differ per element. Only the sunflower DoF index must become
+    per-row: global sample = wave * s + replica + sample_base."""
     obj_types = meta.obj_types
     group_bvh = {g: (r, e) for g, r, e in meta.group_bvh}
     leaf_rows = meta.leaf_size // _TRI_SLOTS_PER_ROW
@@ -1387,7 +1452,15 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             dx, dy, dz = _normalize(pxw - oxw, pyw - oyw, pzw - ozw)
 
             # DoF via sunflower(totalSamples, alpha=2, n) (tracer.cl:762-776)
-            nf = (n + sample_base).astype(jnp.float32)
+            if spp_pack > 1:
+                # replica r = sublane-row group: global sample index
+                # n*s + r (+ base) per row, so packed DoF still covers
+                # the whole sunflower spiral
+                rep = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                       // (tile[0] // spp_pack))
+                nf = (n * spp_pack + rep + sample_base).astype(jnp.float32)
+            else:
+                nf = (n + sample_base).astype(jnp.float32)
             r_sun = jnp.where(
                 nf <= (sun_n - sun_b),
                 jnp.sqrt(jnp.maximum(nf - 0.5, 0.0))
@@ -1833,7 +1906,7 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             return (acc_r + st[14], acc_g + st[15], acc_b + st[16])
 
         acc_r, acc_g, acc_b = jax.lax.fori_loop(
-            0, spp, sample_body, (acc_r, acc_g, acc_b))
+            0, spp // spp_pack, sample_body, (acc_r, acc_g, acc_b))
 
         out_r[...] = acc_r
         out_g[...] = acc_g
@@ -1845,7 +1918,7 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "cfg", "spp", "total_samples", "tile",
-                     "interpret"),
+                     "spp_pack", "interpret"),
 )
 def trace_tiles(
     seed: jnp.ndarray,          # i32 [2]: (prng seed, global sample base)
@@ -1860,12 +1933,21 @@ def trace_tiles(
     spp: int = 1,
     total_samples: int = 1,
     tile: Tuple[int, int] = (128, 256),
+    spp_pack: int = 1,
     interpret: bool = False,
 ):
-    """Run the megakernel over all tiles; returns (r, g, b) sums [T*S, L]."""
+    """Run the megakernel over all tiles; returns (r, g, b) sums [T*S, L].
+
+    spp_pack: sample-in-rows packing factor (see _make_kernel). px/py
+    must come from tile_pixel_layout(spp_pack=spp_pack); each slot then
+    sums spp/spp_pack samples and untile_image adds the replicas."""
     S, L = tile
+    if spp % spp_pack or S % spp_pack:
+        raise ValueError(
+            f"spp_pack={spp_pack} must divide both spp={spp} and the "
+            f"sublane count S={S}")
     n_tiles = px.shape[0] // S
-    kernel = _make_kernel(meta, cfg, spp, total_samples, tile)
+    kernel = _make_kernel(meta, cfg, spp, total_samples, tile, spp_pack)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # seed
@@ -1915,19 +1997,21 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
     W, H = camera.width, camera.height
     S, L = tile if tile is not None else default_tile(meta)
 
-    xs, ys, pid = tile_pixel_layout(W, H, S, L, order=default_order(meta))
+    spp = cfg.samples
+    pack = min(default_pack(meta, spp), S)
+    xs, ys, pid = tile_pixel_layout(W, H, S, L, order=default_order(meta),
+                                    spp_pack=pack)
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(build_camera_vec(camera))
     obj_table, nodes, tris = scene_tables_jnp(
         scn, meta, traversal=traversal_mode(meta))
 
-    spp = cfg.samples
     r, g, b = trace_tiles(
         jnp.asarray([seed if seed is not None else cfg.seed, 0], jnp.int32),
         cam_vec, obj_table, nodes, tris, px, py,
         meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples, tile=(S, L),
-        interpret=interpret,
+        spp_pack=pack, interpret=interpret,
     )
     img = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
     img = untile_image(img.reshape(-1, 3), pid, W, H).reshape(H, W, 3)

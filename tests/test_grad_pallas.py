@@ -426,10 +426,13 @@ def test_megakernel_grad_agrees_with_wavefront_ad():
 def test_sharded_megakernel_step_matches_single_device():
     """The SHARDED fused differentiable megakernel step
     (diff/grad.make_sharded_megakernel_step) on a trivial (1,1) mesh is
-    bit-identical to make_megakernel_step: same tile layout, same
+    the same computation as make_megakernel_step: same tile layout, same
     estimator, and the (pix_rank=0, spp_rank=0) seed recipe collapses to
     seed[0]*7919 + 1 — so feeding the single-device step that adjusted
-    seed reproduces the sharded step exactly."""
+    seed reproduces the sharded step's per-ray values exactly. The
+    scalar LOSS mean may still differ by ~1 ulp: XLA reassociates the
+    pixel reduction differently under shard_map, so the comparison is
+    ulp-tolerance, not bitwise."""
     from pathtracer_tpu.diff.grad import (make_megakernel_step,
                                           make_sharded_megakernel_step)
     from pathtracer_tpu.parallel import make_mesh
@@ -455,9 +458,11 @@ def test_sharded_megakernel_step_matches_single_device():
     lc_, le_, lloss = lstep(color, emission,
                             jnp.asarray([5 * 7919 + 1, 0], jnp.int32),
                             ltarget_of(img))
-    assert float(sloss) == float(lloss)
-    np.testing.assert_array_equal(np.asarray(sc_), np.asarray(lc_))
-    np.testing.assert_array_equal(np.asarray(se_), np.asarray(le_))
+    np.testing.assert_allclose(float(sloss), float(lloss), rtol=5e-7)
+    np.testing.assert_allclose(np.asarray(sc_), np.asarray(lc_),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(se_), np.asarray(le_),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_sharded_megakernel_step_descends_cpu_mesh():

@@ -250,6 +250,73 @@ def test_tile_pixel_layout_shard_granule():
     assert px.shape[0] % (8 * 4) == 0
 
 
+def test_tile_pixel_layout_spp_pack():
+    """Sample-in-rows packing: each pixel appears exactly `pack` times,
+    the replica row groups within a tile are identical, and untile_image
+    SUMS the replicas (each slot carries a partial sample sum)."""
+    from pathtracer_tpu.render.pallas_kernel import (tile_pixel_layout,
+                                                     untile_image)
+
+    for (W, H, S, L, pack) in [(64, 48, 8, 128, 8), (33, 25, 8, 128, 4),
+                               (1280, 960, 8, 512, 8), (40, 30, 8, 128, 2)]:
+        px, py, pid = tile_pixel_layout(W, H, S, L, order="block",
+                                        spp_pack=pack)
+        rows = px.shape[0]
+        assert rows % S == 0
+        n_tiles = rows // S
+        Ss = S // pack
+        # replica groups within each tile are identical pixel blocks
+        t = px.reshape(n_tiles, pack, Ss, L)
+        for r in range(1, pack):
+            np.testing.assert_array_equal(t[:, r], t[:, 0])
+        # every pixel appears exactly pack times among valid slots
+        valid = pid >= 0
+        counts = np.bincount(pid[valid], minlength=W * H)
+        assert counts.min() == pack and counts.max() == pack
+        # untile sums the partial per-slot values
+        flat = np.ones((pid.shape[0], 1), np.float32)
+        img = untile_image(flat, pid, W, H)
+        np.testing.assert_array_equal(img[:, 0], np.full(W * H, pack))
+        # sharded variant: whole tiles per shard
+        px4, _, _ = tile_pixel_layout(W, H, S, L, order="block",
+                                      spp_pack=pack, shard_granule=4)
+        assert px4.shape[0] % (S * 4) == 0
+
+
+def test_megakernel_spp_pack_same_estimator(small_cfg):
+    """Packed launches (spp_pack=8: 8 samples of one compact block per
+    tile) are the same estimator as unpacked — image means agree to MC
+    noise, and the per-pixel sample budget is exactly spp (exercised by
+    the accounting assert in test_tile_pixel_layout_spp_pack; here the
+    two renders of the 'default' scene must converge together)."""
+    import jax.numpy as jnp
+    from pathtracer_tpu.render import pallas_kernel as pk
+    from pathtracer_tpu.scenes import get_scene
+
+    W, H, SPP = 64, 48, 16
+    cfg = small_cfg.replace(width=W, height=H, samples=SPP,
+                            samples_per_pass=SPP)
+    sc = get_scene("default", cfg)
+    arrays, meta = sc.pack()
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
+    S, L = 8, 128
+    imgs = {}
+    for pack in (1, 8):
+        xs, ys, pid = pk.tile_pixel_layout(W, H, S, L, order="block",
+                                           spp_pack=pack)
+        r, g, b = pk.trace_tiles(
+            jnp.asarray([7, 0], jnp.int32), cam_vec, obj, nodes, tris,
+            jnp.asarray(xs), jnp.asarray(ys), meta=meta, cfg=cfg,
+            spp=SPP, total_samples=SPP, tile=(S, L), spp_pack=pack,
+            interpret=True)
+        flat = np.stack([np.asarray(r).ravel(), np.asarray(g).ravel(),
+                         np.asarray(b).ravel()], -1)
+        imgs[pack] = pk.untile_image(flat, pid, W, H) / SPP
+    assert abs(imgs[8].mean() - imgs[1].mean()) < 0.02
+    assert np.abs(imgs[8] - imgs[1]).mean() < 0.25  # per-pixel MC noise
+
+
 @_tpu
 def test_render_sharded_pallas_mesh_of_one(small_cfg):
     """Distributed megakernel on a 1x1 mesh is the same estimator as the

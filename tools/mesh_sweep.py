@@ -30,6 +30,8 @@ LEAVES = [int(v) for v in os.environ.get("SWEEP_LEAF", "16,32").split(",")]
 TILES = [tuple(int(x) for x in t.split("x"))
          for t in os.environ.get("SWEEP_TILES", "8x512,8x256,8x128").split(",")]
 ORDERS = os.environ.get("SWEEP_ORDERS", "block").split(",")
+# sample-in-rows packing factors (1 = unpacked round-2 layout)
+PACKS = [int(v) for v in os.environ.get("SWEEP_PACK", "1").split(",")]
 
 for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
     for leaf in LEAVES:
@@ -41,9 +43,13 @@ for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
         cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
         obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
         for (S, L) in TILES:
+          for pack in PACKS:
+            if SPP % pack or S % pack:
+                continue
             for order in ORDERS:
                 xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L,
-                                                    order=order)
+                                                    order=order,
+                                                    spp_pack=pack)
                 px = jnp.asarray(xs)
                 py = jnp.asarray(ys)
 
@@ -51,7 +57,8 @@ for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
                     r, _, _ = pk.trace_tiles(
                         jnp.asarray([seed, 0], jnp.int32), cam_vec, obj,
                         nodes, tris, px, py, meta=meta, cfg=cfg, spp=SPP,
-                        total_samples=cfg.samples, tile=(S, L))
+                        total_samples=cfg.samples, tile=(S, L),
+                        spp_pack=pack)
                     return float(r.mean())
 
                 t0 = time.time()
@@ -62,8 +69,12 @@ for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
                     t0 = time.perf_counter()
                     m = run(i + 2)
                     best = min(best, time.perf_counter() - t0)
+                # rays/launch scale with rows: pack repeats the image's
+                # pixels over pack-fold more slots at spp/pack samples
+                # each — samples per launch is unchanged
                 ms = W * H * SPP / best / 1e6
                 print(f"{scene_name} leaf={leaf:3d} tile=({S:3d},{L:4d}) "
-                      f"{order:6s} nodes={nn:5d} compile={t_compile:6.1f}s "
+                      f"{order:6s} pack={pack} nodes={nn:5d} "
+                      f"compile={t_compile:6.1f}s "
                       f"steady={best:6.2f}s {ms:7.2f} Ms/s "
-                      f"mean={m / SPP:.5f}", flush=True)
+                      f"mean={m * pack / SPP:.5f}", flush=True)
