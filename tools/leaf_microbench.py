@@ -40,7 +40,7 @@ from pathtracer_tpu.config import RenderConfig  # noqa: E402
 from pathtracer_tpu.render import pallas_kernel as pk  # noqa: E402
 from pathtracer_tpu.scenes import get_scene  # noqa: E402
 
-S, L = 8, 512
+S, L = (int(v) for v in os.environ.get("MB_TILE", "8x512").split("x"))
 VISITS = int(os.environ.get("MB_VISITS", "2000"))
 LEAF = int(os.environ.get("MB_LEAF", "32"))
 ROWS_PER_LEAF = LEAF // pk._TRI_SLOTS_PER_ROW
