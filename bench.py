@@ -48,8 +48,10 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     tile_env = os.environ.get("BENCH_TILE")
     S, L = (tuple(int(v) for v in tile_env.split("x")) if tile_env
             else pk.default_tile(meta))
+    pack = min(pk.default_pack(meta, spp), S)
     xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L,
-                                        order=pk.default_order(meta))
+                                        order=pk.default_order(meta),
+                                        spp_pack=pack)
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
@@ -60,7 +62,7 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
         r, _, _ = pk.trace_tiles(
             jnp.asarray([seed, 0], jnp.int32), cam_vec, obj, nodes, tris,
             px, py, meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples,
-            tile=(S, L),
+            tile=(S, L), spp_pack=pack,
         )
         if force:
             # the remote tunnel compiles asynchronously and

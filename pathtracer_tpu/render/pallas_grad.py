@@ -55,7 +55,8 @@ from . import pallas_kernel as pk
 from .pallas_kernel import (_BIG, _axis_slab, _box_t, _cylinder_t, _dot,
                             _mat12_point, _mat12_vec, _normalize,
                             _packet_traverse, _plane_t, _prng_seed,
-                            _refract, _schlick, _sphere_t, _uniform)
+                            _refract, _schlick, _sphere_t,
+                            _coherent_sampling, _uniform, _uniform_row)
 
 
 def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
@@ -352,11 +353,14 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 nz = jnp.where(flip, -nz, nz)
 
                 # ---- material roulette (forward-identical: SAME draw
-                # ids as _make_kernel — the replay contract) ------------
-                u_refl = _uniform(shape, 2, n, b)
-                u_schl = _uniform(shape, 3, n, b)
-                u1 = _uniform(shape, 4, n, b)
-                u2 = _uniform(shape, 5, n, b)
+                # ids AND the same coherent row-sharing mode as
+                # _make_kernel — the replay contract) -------------------
+                _udraw = (_uniform_row if _coherent_sampling()
+                          else _uniform)
+                u_refl = _udraw(shape, 2, n, b)
+                u_schl = _udraw(shape, 3, n, b)
+                u1 = _udraw(shape, 4, n, b)
+                u2 = _udraw(shape, 5, n, b)
 
                 wx = ox + dx * t
                 wy = oy + dy * t

@@ -601,6 +601,35 @@ def _uniform(shape, did=0, n=None, b=None):
     return top24.astype(jnp.float32) * _INV24
 
 
+def _coherent_sampling() -> bool:
+    """Coherent path tracing (Sadeghi et al. 2009): share the bounce /
+    roulette / light-sample uniforms across each sublane ROW of the
+    tile. Every pixel's per-sample estimator keeps the exact same
+    distribution (unbiased, same per-pixel variance — only CROSS-pixel
+    noise correlation within a row at the same sample index changes,
+    which averages out over spp), but all rays of a row bounce into the
+    same direction relative to their local frame — on flat surfaces the
+    outgoing packet is a near-pencil, which collapses the packet BVH
+    walk's union of visited leaves (the dominant mesh-scene cost,
+    docs/PERFORMANCE.md). PT_COHERENT=0 opts out (e.g. for
+    tight-tolerance statistical tests, where row correlation inflates
+    the variance of image-mean estimates)."""
+    return os.environ.get("PT_COHERENT", "1") != "0"
+
+
+def _uniform_row(shape, did=0, n=None, b=None):
+    """One shared f32 uniform in [0,1) per sublane row.
+
+    Draws a full per-lane tile with _uniform — so the hardware PRNG
+    stream advances EXACTLY as in the per-lane path and the grad
+    kernel's replay stays aligned — then lane-broadcasts column 0.
+    With spp_pack > 1 each sublane row belongs to exactly one sample
+    replica, so row-sharing never correlates distinct samples of the
+    same pixel."""
+    x = _uniform(shape, did, n, b)
+    return jnp.broadcast_to(x[:, 0:1], shape)
+
+
 def _mat12_point(m, x, y, z):
     """(12 scalars) 3x4 matrix x point."""
     return (
@@ -877,6 +906,84 @@ def _lane_chunks(x, nc):
     return [x[..., j * w:(j + 1) * w] for j in range(nc)]
 
 
+def _leaf_tests(tri_ref, r0, leaf_rows, eps, tox, toy, toz,
+                tdx, tdy, tdz, start, uniform_color=None,
+                return_slot=False):
+    """All triangle tests of one leaf against one ray chunk, reduced to
+    the single closest hit by a pairwise min-TREE.
+
+    Round-4 restructure of the leaf body (tools/leaf_microbench.py):
+    each triangle's chain is fully independent — validity has no `hb`
+    and no `t < best_t` term, the hit point h = p + t*d is computed
+    once and u = h.U, v = h.V (vs the p.U + t*(d.U) form: ~9 fewer ops
+    per test) — and the winner is folded in a log2(K)-deep tree instead
+    of a K-long serial select chain. Ties keep the LOWER slot (strict
+    <), matching the serial unroll. The caller merges the winner into
+    its running state with ONE `hb & (tw < bt)` select per leaf.
+
+    Returns (tw, nx, ny, nz [, cr, cg, cb] [, slotf]); tw = _BIG where
+    the leaf has no valid hit. Payload entries start as 0-d scalars for
+    padding-free selects; they broadcast at the first tree level."""
+    block = tri_ref[pl.ds(r0, leaf_rows), :]
+    cand = []
+    for r in range(leaf_rows):
+        for s in range(_TRI_SLOTS_PER_ROW):
+            c = s * _TRI_STRIDE
+            # dual-basis test (see _packet_traverse docstring); layout:
+            # P1(0) Ng(3) U(6) V(9) n1(12) d21(15) d31(18) color(21)
+            pxx = tox - block[r, c + 0]
+            pyy = toy - block[r, c + 1]
+            pzz = toz - block[r, c + 2]
+            den = (tdx * block[r, c + 3]
+                   + tdy * block[r, c + 4]
+                   + tdz * block[r, c + 5])
+            num_t = -(pxx * block[r, c + 3]
+                      + pyy * block[r, c + 4]
+                      + pzz * block[r, c + 5])
+            den_ok = jnp.abs(den) >= eps
+            f = 1.0 / jnp.where(den_ok, den, 1.0)
+            t = num_t * f
+            hx = pxx + t * tdx
+            hy = pyy + t * tdy
+            hz = pzz + t * tdz
+            u = (hx * block[r, c + 6] + hy * block[r, c + 7]
+                 + hz * block[r, c + 8])
+            v = (hx * block[r, c + 9] + hy * block[r, c + 10]
+                 + hz * block[r, c + 11])
+            # u <= 1 is implied by v >= 0 & u + v <= 1
+            valid = (den_ok & (u >= 0.0) & (v >= 0.0)
+                     & (u + v <= 1.0) & (t > eps))
+            tv = jnp.where(valid, t, _BIG)
+            # smooth normal n2*u + n3*v + n1*(1-u-v) (tracer.cl:669)
+            # = n1 + u*(n2-n1) + v*(n3-n1)
+            cnx = (block[r, c + 12] + block[r, c + 15] * u
+                   + block[r, c + 18] * v)
+            cny = (block[r, c + 13] + block[r, c + 16] * u
+                   + block[r, c + 19] * v)
+            cnz = (block[r, c + 14] + block[r, c + 17] * u
+                   + block[r, c + 20] * v)
+            entry = [tv, cnx, cny, cnz]
+            if uniform_color is None:
+                entry += [block[r, c + 21], block[r, c + 22],
+                          block[r, c + 23]]
+            if return_slot:
+                entry.append((start + jnp.int32(
+                    r * _TRI_SLOTS_PER_ROW + s)).astype(jnp.float32))
+            cand.append(tuple(entry))
+    while len(cand) > 1:
+        nxt = []
+        for a, b in zip(cand[::2], cand[1::2]):
+            take = b[0] < a[0]
+            nxt.append(tuple(
+                [jnp.minimum(a[0], b[0])]
+                + [jnp.where(take, b[k], a[k])
+                   for k in range(1, len(a))]))
+        if len(cand) % 2:
+            nxt.append(cand[-1])
+        cand = nxt
+    return cand[0]
+
+
 def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
                      root, end, tox, toy, toz, tdx, tdy, tdz,
                      active, bt0, oct_base=None, uniform_color=None,
@@ -925,14 +1032,29 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
     (_make_intersect_kernel). Returns (t, nx, ny, nz, cr, cg, cb) plus
     slot when `return_slot`."""
     shape = tox.shape
-    # Sub-packet gating is OFF by default: the round-3 hardware A/B
-    # measured the monolithic walk 25% FASTER (teapot 3.29 vs 2.63
-    # Ms/s) — the per-chunk lax.cond overhead exceeds the vector work
-    # it skips on this hardware, the reverse of what the CPU
-    # exact-replay simulator predicted. PT_SUBPACKET=1 re-enables
-    # vreg-aligned 128-lane chunk gating for A/Bs.
+    # Sub-packet gating modes (vreg-aligned 128-lane chunks; the CPU
+    # exact-replay simulator predicts gating skips 40-60% of leaf
+    # vector work, tools/subpacket_sim.py):
+    #   PT_SUBPACKET=1  legacy lax.cond gating — LOST the round-3
+    #                   hardware A/B by 25%: each cond copies its 4-8
+    #                   vreg carries on both paths, which exceeds the
+    #                   skipped vector work. Kept for A/Bs.
+    #   PT_SUBPACKET=2  round-4 scratch gating — per-chunk hit state
+    #                   lives in VMEM scratch refs and leaf bodies run
+    #                   under pl.when, so a skipped chunk costs one
+    #                   scalar branch and NO carry traffic.
+    # Default: monolithic (no gating) unless the round-4 A/B promotes
+    # mode 2 (see docs/PERFORMANCE.md).
+    spmode = os.environ.get("PT_SUBPACKET", "")
+    if (spmode == "2" and shape[-1] % 128 == 0 and shape[-1] > 128
+            and os.environ.get("PT_ABLATE_LEAF") != "1"):
+        return _packet_traverse_gated(
+            node_ref, tri_ref, leaf_rows, eps, t_max, root, end,
+            tox, toy, toz, tdx, tdy, tdz, active, bt0,
+            oct_base=oct_base, uniform_color=uniform_color,
+            return_slot=return_slot)
     nc = 1
-    if (os.environ.get("PT_SUBPACKET") == "1"
+    if (spmode == "1"
             and shape[-1] % 128 == 0 and shape[-1] > 128):
         nc = shape[-1] // 128
     c_shape = (shape[0], shape[-1] // nc)
@@ -1020,81 +1142,18 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
                     # triangle tests removed (renders WRONG; cost
                     # attribution only — docs/PERFORMANCE.md cost model)
                     return carry
-                carry = list(carry)
-                if uniform_color is None:
-                    bt, gnx, gny, gnz, gcr, gcg, gcb = carry[:7]
-                else:
-                    bt, gnx, gny, gnz = carry[:4]
-                    gcr = gcg = gcb = zero
-                gsl = carry[-1] if return_slot else zero
-                tox, toy, toz = ctox[j], ctoy[j], ctoz[j]
-                tdx, tdy, tdz = ctdx[j], ctdy[j], ctdz[j]
-                hb = hitb[j]
-                block = tri_ref[pl.ds(r0, leaf_rows), :]
-                for r in range(leaf_rows):
-                    for s in range(_TRI_SLOTS_PER_ROW):
-                        c = s * _TRI_STRIDE
-                        # dual-basis test (see module docstring); layout:
-                        # P1(0) Ng(3) U(6) V(9) n1(12) d21(15) d31(18)
-                        # color(21)
-                        pxx = tox - block[r, c + 0]
-                        pyy = toy - block[r, c + 1]
-                        pzz = toz - block[r, c + 2]
-                        den = (tdx * block[r, c + 3]
-                               + tdy * block[r, c + 4]
-                               + tdz * block[r, c + 5])
-                        num_t = -(pxx * block[r, c + 3]
-                                  + pyy * block[r, c + 4]
-                                  + pzz * block[r, c + 5])
-                        den_ok = jnp.abs(den) >= eps
-                        f = 1.0 / jnp.where(den_ok, den, 1.0)
-                        t = num_t * f
-                        u = (pxx * block[r, c + 6]
-                             + pyy * block[r, c + 7]
-                             + pzz * block[r, c + 8]
-                             + t * (tdx * block[r, c + 6]
-                                    + tdy * block[r, c + 7]
-                                    + tdz * block[r, c + 8]))
-                        v = (pxx * block[r, c + 9]
-                             + pyy * block[r, c + 10]
-                             + pzz * block[r, c + 11]
-                             + t * (tdx * block[r, c + 9]
-                                    + tdy * block[r, c + 10]
-                                    + tdz * block[r, c + 11]))
-                        # u <= 1 is implied by v >= 0 & u + v <= 1
-                        better = (
-                            hb & den_ok
-                            & (u >= 0.0)
-                            & (v >= 0.0) & (u + v <= 1.0)
-                            & (t > eps) & (t < t_max) & (t < bt)
-                        )
-                        # smooth normal n2*u + n3*v + n1*(1-u-v)
-                        # (tracer.cl:669) = n1 + u*(n2-n1) + v*(n3-n1)
-                        cnx = (block[r, c + 12] + block[r, c + 15] * u
-                               + block[r, c + 18] * v)
-                        cny = (block[r, c + 13] + block[r, c + 16] * u
-                               + block[r, c + 19] * v)
-                        cnz = (block[r, c + 14] + block[r, c + 17] * u
-                               + block[r, c + 20] * v)
-                        bt = jnp.where(better, t, bt)
-                        gnx = jnp.where(better, cnx, gnx)
-                        gny = jnp.where(better, cny, gny)
-                        gnz = jnp.where(better, cnz, gnz)
-                        if uniform_color is None:
-                            gcr = jnp.where(better, block[r, c + 21], gcr)
-                            gcg = jnp.where(better, block[r, c + 22], gcg)
-                            gcb = jnp.where(better, block[r, c + 23], gcb)
-                        if return_slot:
-                            sidf = (start + jnp.int32(
-                                r * _TRI_SLOTS_PER_ROW + s)
-                            ).astype(jnp.float32)
-                            gsl = jnp.where(better, sidf, gsl)
-                out = (bt, gnx, gny, gnz)
-                if uniform_color is None:
-                    out = out + (gcr, gcg, gcb)
-                if return_slot:
-                    out = out + (gsl,)
-                return out
+                res = _leaf_tests(
+                    tri_ref, r0, leaf_rows, eps,
+                    ctox[j], ctoy[j], ctoz[j],
+                    ctdx[j], ctdy[j], ctdz[j], start,
+                    uniform_color=uniform_color,
+                    return_slot=return_slot)
+                bt = carry[0]
+                tw = res[0]
+                won = hitb[j] & (tw < bt) & (tw < t_max)
+                return (jnp.where(won, tw, bt),) + tuple(
+                    jnp.where(won, res[k], carry[k])
+                    for k in range(1, len(carry)))
             return body
 
         outs = [[] for _ in range(n_carry)]
@@ -1131,6 +1190,141 @@ def _packet_traverse(node_ref, tri_ref, leaf_rows, eps, t_max,
            cr, cg, cb)
     if return_slot:
         out = out + (cat(list(st[1 + n_base])),)
+    return out
+
+
+def _packet_traverse_gated(node_ref, tri_ref, leaf_rows, eps, t_max,
+                           root, end, tox, toy, toz, tdx, tdy, tdz,
+                           active, bt0, oct_base=None,
+                           uniform_color=None, return_slot=False):
+    """Scratch-gated packet walk (PT_SUBPACKET=2): the tile's lane dim
+    is split into vreg-sized 128-lane chunks, each carrying its own
+    slab mask and best-t, and each leaf's triangle tests run only for
+    the chunks that actually overlap it — the round-2b simulator
+    predicts that skips 40-60% of leaf vector work on the benchmark
+    meshes (tools/subpacket_sim.py).
+
+    Unlike the legacy lax.cond gating (PT_SUBPACKET=1, lost its
+    hardware A/B to carry copies), the per-chunk hit state (best-t +
+    payload) lives in VMEM *scratch refs* (pl.run_scoped) and each
+    leaf-chunk body is a pl.when region that loads, updates, and stores
+    its 128-lane slice in place. A skipped chunk costs one scalar
+    any-reduce and a branch; the while_loop carries ONE scalar (the
+    node index). Inactive lanes are pruned by seeding their best-t
+    scratch with -_BIG, which fails every `tmin < bt` slab test and
+    every `tw < bt` merge.
+
+    Same walk semantics and returns as _packet_traverse; bit-identical
+    output to the monolithic walk (same _leaf_tests math, same strict-<
+    merge)."""
+    shape = tox.shape
+    S, L = shape
+    nc = L // 128
+    any_pre = jnp.any(active)
+    root_e = jnp.int32(root)
+    end_e = jnp.int32(end)
+    if oct_base is not None:
+        root_e = root_e + oct_base
+        end_e = end_e + oct_base
+
+    ctox = _lane_chunks(tox, nc)
+    ctoy = _lane_chunks(toy, nc)
+    ctoz = _lane_chunks(toz, nc)
+    ctdx = _lane_chunks(tdx, nc)
+    ctdy = _lane_chunks(tdy, nc)
+    ctdz = _lane_chunks(tdz, nc)
+
+    def inv_safe(td):
+        ok = jnp.abs(td) >= eps
+        return jnp.where(ok, 1.0 / jnp.where(ok, td, 1.0), _BIG)
+
+    cinv_dx = [inv_safe(d) for d in ctdx]
+    cinv_dy = [inv_safe(d) for d in ctdy]
+    cinv_dz = [inv_safe(d) for d in ctdz]
+
+    n_pay = 3 + (0 if uniform_color is not None else 3) \
+        + (1 if return_slot else 0)
+
+    def scoped(bt_ref, *pay_refs):
+        bt_ref[...] = jnp.where(active, bt0, -_BIG)
+        for k, pr in enumerate(pay_refs):
+            if return_slot and k == n_pay - 1:
+                pr[...] = jnp.full(shape, -1.0, jnp.float32)
+            else:
+                pr[...] = jnp.zeros(shape, jnp.float32)
+
+        def tcond(idx):
+            return idx < end_e
+
+        def tbody(idx):
+            node = node_ref[pl.ds(idx, 1), :]
+            hitb = []
+            anyhit_c = []
+            for j in range(nc):
+                btj = bt_ref[:, j * 128:(j + 1) * 128]
+                ax1 = (node[0, 0] - ctox[j]) * cinv_dx[j]
+                ax2 = (node[0, 3] - ctox[j]) * cinv_dx[j]
+                ay1 = (node[0, 1] - ctoy[j]) * cinv_dy[j]
+                ay2 = (node[0, 4] - ctoy[j]) * cinv_dy[j]
+                az1 = (node[0, 2] - ctoz[j]) * cinv_dz[j]
+                az2 = (node[0, 5] - ctoz[j]) * cinv_dz[j]
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(ax1, ax2),
+                                jnp.minimum(ay1, ay2)),
+                    jnp.minimum(az1, az2))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(ax1, ax2),
+                                jnp.maximum(ay1, ay2)),
+                    jnp.maximum(az1, az2))
+                hb = (tmin <= tmax) & (tmax > eps) & (tmin < btj)
+                hitb.append(hb)
+                anyhit_c.append(jnp.any(hb))
+            is_leaf = node[0, 7] > 0.5
+            start = node[0, 6].astype(jnp.int32)
+            exitn = node[0, 8].astype(jnp.int32)
+            r0 = jax.lax.div(start, jnp.int32(_TRI_SLOTS_PER_ROW))
+
+            for j in range(nc):
+                @pl.when(anyhit_c[j] & is_leaf)
+                def _leaf_chunk(j=j, hb=hitb[j]):
+                    res = _leaf_tests(
+                        tri_ref, r0, leaf_rows, eps,
+                        ctox[j], ctoy[j], ctoz[j],
+                        ctdx[j], ctdy[j], ctdz[j], start,
+                        uniform_color=uniform_color,
+                        return_slot=return_slot)
+                    sl = slice(j * 128, (j + 1) * 128)
+                    bt = bt_ref[:, sl]
+                    tw = res[0]
+                    won = hb & (tw < bt) & (tw < t_max)
+                    bt_ref[:, sl] = jnp.where(won, tw, bt)
+                    for k, pr in enumerate(pay_refs):
+                        pr[:, sl] = jnp.where(won, res[1 + k], pr[:, sl])
+
+            anyhit = anyhit_c[0]
+            for j in range(1, nc):
+                anyhit = anyhit | anyhit_c[j]
+            return jnp.where(anyhit, idx + 1, exitn)
+
+        jax.lax.while_loop(tcond, tbody,
+                           jnp.where(any_pre, root_e, end_e))
+        bt = jnp.where(active, bt_ref[...], bt0)
+        return (bt,) + tuple(pr[...] for pr in pay_refs)
+
+    st = pl.run_scoped(
+        scoped, *[pltpu.VMEM((S, L), jnp.float32)
+                  for _ in range(1 + n_pay)])
+
+    bt = st[0]
+    out = (bt, st[1], st[2], st[3])
+    if uniform_color is None:
+        out = out + (st[4], st[5], st[6])
+    else:
+        out = out + (jnp.full(shape, uniform_color[0], jnp.float32),
+                     jnp.full(shape, uniform_color[1], jnp.float32),
+                     jnp.full(shape, uniform_color[2], jnp.float32))
+    if return_slot:
+        out = out + (st[1 + n_pay - 1],)
     return out
 
 
@@ -1682,10 +1876,13 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                     col_b = jnp.where(msk, tcb, col_b)
 
                 # ---- material roulette (tracer.cl:982-1061) -----------
-                u_refl = _uniform(shape, 2, n, b)
-                u_schl = _uniform(shape, 3, n, b)
-                u1 = _uniform(shape, 4, n, b)
-                u2 = _uniform(shape, 5, n, b)
+                # coherent mode: row-shared roulette + hemisphere draws
+                # (see _coherent_sampling)
+                _udraw = _uniform_row if _coherent_sampling() else _uniform
+                u_refl = _udraw(shape, 2, n, b)
+                u_schl = _udraw(shape, 3, n, b)
+                u1 = _udraw(shape, 4, n, b)
+                u2 = _udraw(shape, 5, n, b)
 
                 wx = ox + dx * t
                 wy = oy + dy * t
@@ -1791,8 +1988,8 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 if cfg.nee and meta.light_indices:
                     nee_cond = no_refr & ~is_light
                     for li, l in enumerate(meta.light_indices):
-                        nu1 = _uniform(shape, 6 + 2 * li, n, b)
-                        nu2 = _uniform(shape, 7 + 2 * li, n, b)
+                        nu1 = _udraw(shape, 6 + 2 * li, n, b)
+                        nu2 = _udraw(shape, 7 + 2 * li, n, b)
                         # randomPointOnSphere (tracer.cl:321-336) kept
                         # verbatim incl. its latitude offset; acos via
                         # the kernel polynomial (_acos)

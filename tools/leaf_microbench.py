@@ -1,29 +1,38 @@
 """Microbenchmark the megakernel's leaf triangle-test body in isolation.
 
 The round-3 ablation pins ~98.7% of mesh-scene time on leaf vector work
-(node-walk-only: 245.8 Ms/s vs 3.30 full), yet op-count accounting says
-that work runs at only ~28% of the VPU rate the primitive megakernel
-sustains. This harness times B back-to-back leaf-body executions on one
-[8,512] ray tile — no walk, no conds — so the gap can be attributed:
+(node-walk-only: 245.8 Ms/s vs 3.30 full). This harness times B
+back-to-back leaf-body executions on one [8,512] ray tile — no walk, no
+conds — so the per-visit cost can be attributed.
 
+MEASUREMENT NOTE (round 4): every pallas_call dispatched through the
+axon tunnel carries ~35 ms of FIXED overhead, which swamped the round-3
+numbers (every variant "measured" ~13.5 us/visit = overhead/2000). This
+version times each variant at VISITS and 5*VISITS and reports the
+MARGINAL cost, which cancels the constant. Corrected numbers: the
+production body runs ~1.8 us/visit at leaf=32 — i.e. ~74 G triangle
+tests/s, and full-scene mesh throughput = leaf_rate / tests_per_sample
+matches the measured 3.37 Ms/s teapot rate exactly.
+
+Variants:
   base      exact production body (_packet_traverse leaf unroll)
-  hitpoint  h = p + t*d computed once, u = h.U, v = h.V (saves ~5 of
-            ~45 ops/test vs the p.U + t*(d.U) form)
+  hitpoint  h = p + t*d computed once, u = h.U, v = h.V (saves ~9 of
+            ~60 ops/test vs the p.U + t*(d.U) form)
   nonormal  track (t, slot) only — no smooth-normal interpolation
-  noload    all 24 triangle coefficients hoisted to compile-time
-            constants — isolates the VMEM scalar-load + splat cost
-  indep     noload arithmetic but NO cross-triangle dependency at all
-            (accumulate sum of t) — the pure-throughput/ILP ceiling
-  mintree   hitpoint t-chain, but the best-t reduction is
-            tmin = min(tmin, where(valid, t, BIG)) and the payload
-            (normal) selects keyed afterwards on t == tmin — shortens
-            the serial select chain per triangle from 4 to 1
+  tree      round-4 candidate: hitpoint u/v, per-triangle independent
+            validity (no hb, no t<bt in the chain), pairwise min-TREE
+            reduction carrying (t, nx, ny, nz), single per-leaf
+            hb & (tw < bt) merge — short dependency chains, ~25% fewer
+            ops
+  treec     tree + per-triangle color payload (the gopher case)
+  synth     base arithmetic with coefficients synthesized from the
+            loop counter by scalar ops — no VMEM extracts, NOT
+            loop-invariant (unlike the old `noload`, which XLA hoisted
+            out of the loop entirely) — isolates the extract+splat cost
 
 Usage: python tools/leaf_microbench.py [variant ...]   (default: all)
-Env: MB_VISITS (2000), MB_LEAF (32).
+Env: MB_VISITS (20000), MB_LEAF (32).
 """
-import functools
-import math
 import os
 import sys
 import time
@@ -41,13 +50,13 @@ from pathtracer_tpu.render import pallas_kernel as pk  # noqa: E402
 from pathtracer_tpu.scenes import get_scene  # noqa: E402
 
 S, L = (int(v) for v in os.environ.get("MB_TILE", "8x512").split("x"))
-VISITS = int(os.environ.get("MB_VISITS", "2000"))
+VISITS = int(os.environ.get("MB_VISITS", "20000"))
 LEAF = int(os.environ.get("MB_LEAF", "32"))
 ROWS_PER_LEAF = LEAF // pk._TRI_SLOTS_PER_ROW
 EPS = 1e-4
 
 
-def make_kernel(variant, n_leaves):
+def make_kernel(variant, n_leaves, visits):
     def kernel(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                t_out, x_out):
         tox = ox_ref[...]
@@ -63,13 +72,16 @@ def make_kernel(variant, n_leaves):
             bt, gnx, gny, gnz = carry
             r0 = (i % n_leaves) * ROWS_PER_LEAF
             block = tri_ref[pl.ds(r0, ROWS_PER_LEAF), :]
-            cand = []   # mintree: per-triangle (t, u, v, valid)
+            fi = (i % 7 + 1).astype(jnp.float32) * 0.1
+            cand = []   # tree: per-triangle (t, payload...)
             for r in range(ROWS_PER_LEAF):
                 for s in range(pk._TRI_SLOTS_PER_ROW):
                     c = s * pk._TRI_STRIDE
-                    if variant in ("noload", "indep"):
-                        # compile-time constants: no VMEM extract+splat
-                        co = [0.1 * ((c + k + r) % 7 + 1)
+                    if variant == "synth":
+                        # scalar-synthesized coefficients: same vector
+                        # arithmetic, zero VMEM extracts, and fi keeps
+                        # it loop-variant (not hoistable)
+                        co = [fi * float((c + k + r) % 7 + 1)
                               for k in range(24)]
                     else:
                         co = [block[r, c + k] for k in range(24)]
@@ -81,8 +93,8 @@ def make_kernel(variant, n_leaves):
                     den_ok = jnp.abs(den) >= EPS
                     f = 1.0 / jnp.where(den_ok, den, 1.0)
                     t = num_t * f
-                    if variant in ("hitpoint", "nonormal", "indep",
-                                   "mintree"):
+                    if variant in ("hitpoint", "nonormal", "tree",
+                                   "treec"):
                         hx = pxx + t * tdx
                         hy = pyy + t * tdy
                         hz = pzz + t * tdz
@@ -95,19 +107,21 @@ def make_kernel(variant, n_leaves):
                         v = (pxx * co[9] + pyy * co[10] + pzz * co[11]
                              + t * (tdx * co[9] + tdy * co[10]
                                     + tdz * co[11]))
-                    if variant == "indep":
-                        # no cross-triangle dependency: ILP ceiling
-                        bt = bt + t * u
-                        gnx = gnx + v
-                        continue
-                    if variant == "mintree":
-                        # per-triangle chains fully independent; the
-                        # winner is folded in a pairwise tree AFTER the
-                        # unroll (log2(K) select depth, not K)
+                    if variant in ("tree", "treec"):
+                        # independent per-triangle chain: validity via
+                        # min-fold, winner found by a pairwise tree
                         valid = (den_ok & (u >= 0.0) & (v >= 0.0)
                                  & (u + v <= 1.0) & (t > EPS))
                         tv = jnp.where(valid, t, 1e30)
-                        cand.append((tv, u, v))
+                        cnx = co[12] + co[15] * u + co[18] * v
+                        cny = co[13] + co[16] * u + co[19] * v
+                        cnz = co[14] + co[17] * u + co[20] * v
+                        if variant == "treec":
+                            cand.append((tv, cnx, cny, cnz,
+                                         co[21] + zero, co[22] + zero,
+                                         co[23] + zero))
+                        else:
+                            cand.append((tv, cnx, cny, cnz))
                         continue
                     better = (den_ok & (u >= 0.0) & (v >= 0.0)
                               & (u + v <= 1.0) & (t > EPS) & (t < bt))
@@ -123,27 +137,28 @@ def make_kernel(variant, n_leaves):
                         gnx = jnp.where(better, cnx, gnx)
                         gny = jnp.where(better, cny, gny)
                         gnz = jnp.where(better, cnz, gnz)
-            if variant == "mintree":
+            if variant in ("tree", "treec"):
                 while len(cand) > 1:
                     nxt = []
                     for a, b in zip(cand[::2], cand[1::2]):
                         take = b[0] < a[0]
-                        nxt.append((jnp.minimum(a[0], b[0]),
-                                    jnp.where(take, b[1], a[1]),
-                                    jnp.where(take, b[2], a[2])))
+                        nxt.append(tuple(
+                            [jnp.minimum(a[0], b[0])]
+                            + [jnp.where(take, b[k], a[k])
+                               for k in range(1, len(a))]))
                     if len(cand) % 2:
                         nxt.append(cand[-1])
                     cand = nxt
-                tw, uw, vw = cand[0]
-                won = tw < bt
-                bt = jnp.minimum(bt, tw)
-                gnx = jnp.where(won, uw, gnx)
-                gny = jnp.where(won, vw, gny)
-                gnz = jnp.where(won, uw * vw, gnz)
+                w = cand[0]
+                won = w[0] < bt           # per-leaf merge (hb would
+                bt = jnp.where(won, w[0], bt)   # join here in prod)
+                gnx = jnp.where(won, w[1], gnx)
+                gny = jnp.where(won, w[2], gny)
+                gnz = jnp.where(won, w[3], gnz)
             return bt, gnx, gny, gnz
 
         bt, gnx, gny, gnz = jax.lax.fori_loop(
-            0, VISITS, visit,
+            0, visits, visit,
             (jnp.full(shape, 1e30, jnp.float32), zero, zero, zero))
         t_out[...] = bt
         x_out[...] = gnx
@@ -168,11 +183,9 @@ def main():
             (o + 0.1, o + 0.2, o - 1.5,
              (fx - 640) / 640, (fy - 480) / 480, o + 1.0)]
 
-    n_tests = VISITS * LEAF
-    for variant in (sys.argv[1:] or ["base", "hitpoint", "nonormal",
-                                     "noload"]):
+    def timed(variant, visits):
         fn = pl.pallas_call(
-            make_kernel(variant, n_leaves),
+            make_kernel(variant, n_leaves, visits),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
             out_shape=[jax.ShapeDtypeStruct((S, L), jnp.float32)] * 2,
         )
@@ -184,11 +197,18 @@ def main():
             t, x = fn(tris, *args)
             float(t.mean())
             best = min(best, time.perf_counter() - t0)
-        ns_visit = best / VISITS * 1e9
-        ops = n_tests * 45 * S * L / best / 1e12
-        print(f"{variant:9s} {best*1e3:8.2f} ms for {VISITS} visits "
-              f"(leaf={LEAF}) -> {ns_visit:8.1f} ns/visit, "
-              f"{ops:6.2f} T 'op-equiv'/s (45-op basis)", flush=True)
+        return best
+
+    for variant in (sys.argv[1:] or ["base", "hitpoint", "nonormal",
+                                     "tree", "treec", "synth"]):
+        t1 = timed(variant, VISITS)
+        t5 = timed(variant, VISITS * 5)
+        marginal = (t5 - t1) / (VISITS * 4)
+        tests = marginal and LEAF / marginal / 1e9
+        print(f"{variant:9s} {t1*1e3:8.2f} / {t5*1e3:8.2f} ms at "
+              f"{VISITS}/{VISITS*5} visits (leaf={LEAF}) -> "
+              f"{marginal*1e9:8.1f} ns/visit marginal, "
+              f"{tests:6.1f} G tests/s", flush=True)
 
 
 if __name__ == "__main__":
