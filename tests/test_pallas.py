@@ -479,3 +479,36 @@ def test_render_sharded_pallas_mxu_cpu_mesh(monkeypatch):
     # may differ only in exact-tie payload handling
     d = np.abs(img_m - img_c).mean()
     assert d < 1e-4, f"sharded-mxu vs sharded-classic MAD {d}"
+
+
+def test_megakernel_coherent_same_estimator(monkeypatch):
+    """Coherent path tracing (PT_COHERENT=1, the default: row-shared
+    roulette/hemisphere/light uniforms, pallas_kernel._uniform_row) vs
+    fully per-lane sampling: both are unbiased estimators of the same
+    integral, so mean images at matched spp must agree up to MC noise.
+    Coherence only changes CROSS-pixel correlation within a sublane
+    row; per-pixel marginals are untouched. Interpret mode, mesh scene
+    (the mode exists to collapse packet-BVH leaf unions)."""
+    cfg = RenderConfig(width=32, height=24, samples=64,
+                       samples_per_pass=64)
+    sc = get_scene("default", cfg)  # triangle group -> packet BVH
+    arrays, meta = sc.pack()
+    assert supports_scene(meta)
+
+    # PT_COHERENT is read at kernel-trace time, so the jit cache must
+    # be dropped between the two builds (same static args otherwise)
+    monkeypatch.setenv("PT_COHERENT", "1")
+    jax.clear_caches()
+    img_c = render_pallas(arrays, meta, sc.camera, cfg, interpret=True)
+    monkeypatch.setenv("PT_COHERENT", "0")
+    jax.clear_caches()
+    img_i = render_pallas(arrays, meta, sc.camera, cfg, interpret=True)
+    jax.clear_caches()
+
+    assert np.isfinite(img_c).all() and img_c.min() >= 0.0
+    # different draw streams, same integral: statistical agreement
+    assert abs(img_c.mean() - img_i.mean()) < 0.04
+    assert np.abs(img_c - img_i).mean() < 0.2
+    # and coherence must actually change the draws (guard against the
+    # knob silently not wiring through)
+    assert not np.allclose(img_c, img_i)
