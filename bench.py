@@ -63,6 +63,7 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
             jnp.asarray([seed, 0], jnp.int32), cam_vec, obj, nodes, tris,
             px, py, meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples,
             tile=(S, L), spp_pack=pack,
+            tex=(arrays.tex_staged if pk.staged_lanes(meta) else None),
         )
         if force:
             # the remote tunnel compiles asynchronously and

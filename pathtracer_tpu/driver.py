@@ -260,6 +260,7 @@ def render_driver(
                 seed, cam_vec, obj_table, nodes, tris, px2, py2,
                 meta=meta, cfg=cfg, spp=int(n) * spp_chunk,
                 total_samples=cfg.samples, tile=(S, L), spp_pack=pack,
+                tex=(scn.tex_staged if pk.staged_lanes(meta) else None),
             )
             return Vec3(r.reshape(-1), g.reshape(-1), b.reshape(-1))
     else:

@@ -203,10 +203,13 @@ def make_driver_segments(
                 scn, meta, traversal=pk.traversal_mode(meta))
             cam_vec, obj, nodes, tris = (
                 _put_sharded(a, rep) for a in (cam_vec, obj, nodes, tris))
+            tex = _put_sharded(scn.tex_staged, rep)
         else:
             cam_vec = jnp.asarray(cam_vec)
             obj, nodes, tris = pk.scene_tables_jnp(
                 scn, meta, traversal=pk.traversal_mode(meta))
+            tex = scn.tex_staged
+        staged = pk.staged_lanes(meta) > 0
 
         @functools.lru_cache(maxsize=None)
         def fn_for(n):
@@ -214,7 +217,7 @@ def make_driver_segments(
             # megernel's in-kernel sample loop)
             local_spp = (n // spp_axis) * spp_chunk
 
-            def body(cam_vec, obj, nodes, tris, px_s, py_s, c0):
+            def body(cam_vec, obj, nodes, tris, tex, px_s, py_s, c0):
                 pix_rank = jax.lax.axis_index("pixels")
                 spp_rank = jax.lax.axis_index("spp")
                 # independent PRNG stream per (segment, shard)
@@ -228,22 +231,23 @@ def make_driver_segments(
                 r, g, b = pk.trace_tiles(
                     jnp.stack([seed, base]), cam_vec, obj, nodes, tris,
                     px_s, py_s, meta=meta, cfg=cfg, spp=local_spp,
-                    total_samples=cfg.samples, tile=(S, L))
+                    total_samples=cfg.samples, tile=(S, L),
+                    tex=tex if staged else None)
                 return (jax.lax.psum(r, "spp"), jax.lax.psum(g, "spp"),
                         jax.lax.psum(b, "spp"))
 
             return jax.jit(jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(), P(), P(), P("pixels"), P("pixels"),
-                          P()),
+                in_specs=(P(), P(), P(), P(), P(), P("pixels"),
+                          P("pixels"), P()),
                 out_specs=(P("pixels"),) * 3,
                 check_vma=False,
             ))
 
         def segment(c0, n, k):
             assert n % spp_axis == 0, (n, spp_axis)
-            r, g, b = fn_for(int(n))(cam_vec, obj, nodes, tris, px, py,
-                                     jnp.int32(c0))
+            r, g, b = fn_for(int(n))(cam_vec, obj, nodes, tris, tex,
+                                     px, py, jnp.int32(c0))
             return Vec3(r.reshape(-1), g.reshape(-1), b.reshape(-1))
 
         def finalize(acc):
@@ -362,12 +366,15 @@ def render_sharded_pallas(
             scn, meta, traversal=pk.traversal_mode(meta))
         cam_vec, obj, nodes, tris = (
             _put_sharded(a, rep) for a in (cam_vec, obj, nodes, tris))
+        tex = _put_sharded(scn.tex_staged, rep)
     else:
         cam_vec = jnp.asarray(cam_vec)
         obj, nodes, tris = pk.scene_tables_jnp(
             scn, meta, traversal=pk.traversal_mode(meta))
+        tex = scn.tex_staged
+    staged = pk.staged_lanes(meta) > 0
 
-    def body(cam_vec, obj, nodes, tris, px_s, py_s):
+    def body(cam_vec, obj, nodes, tris, tex, px_s, py_s):
         # independent PRNG stream per (pixel shard, spp rank)
         pix_rank = jax.lax.axis_index("pixels")
         spp_rank = jax.lax.axis_index("spp")
@@ -380,6 +387,7 @@ def render_sharded_pallas(
             jnp.stack([seed, base]), cam_vec, obj, nodes, tris, px_s, py_s,
             meta=meta, cfg=cfg, spp=local_spp, total_samples=cfg.samples,
             tile=(S, L), spp_pack=pack, interpret=interpret,
+            tex=tex if staged else None,
         )
         return (jax.lax.psum(r, "spp"), jax.lax.psum(g, "spp"),
                 jax.lax.psum(b, "spp"))
@@ -388,12 +396,12 @@ def render_sharded_pallas(
         jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P("pixels"), P("pixels")),
+            in_specs=(P(), P(), P(), P(), P(), P("pixels"), P("pixels")),
             out_specs=(P("pixels"), P("pixels"), P("pixels")),
             check_vma=False,
         )
     )
-    r, g, b = fn(cam_vec, obj, nodes, tris, px, py)
+    r, g, b = fn(cam_vec, obj, nodes, tris, tex, px, py)
     img = np.stack([_fetch(r), _fetch(g), _fetch(b)], axis=-1)
     img = pk.untile_image(img.reshape(-1, 3), pid, W, H)
     return img.reshape(H, W, 3) / float(total_spp)

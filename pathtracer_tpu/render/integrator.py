@@ -231,7 +231,7 @@ def _use_computed_tex(meta: SceneMeta, cfg: RenderConfig) -> bool:
     trainable-texture atlases, and PT_TEX_MODE=gather A/Bs."""
     from . import pallas_kernel as _pk
 
-    return (_pk.textures_computable(meta)
+    return (_pk.textures_procedural(meta)
             and cfg.dtype == "float32"
             and not cfg.trainable_textures
             and os.environ.get("PT_TEX_MODE", "compute") != "gather")

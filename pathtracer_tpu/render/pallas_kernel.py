@@ -83,14 +83,45 @@ _INV24 = float(2.0 ** -24)
 
 def textures_computable(meta: SceneMeta) -> bool:
     """True when every texture the scene samples (color AND normal maps)
-    carries a render/proctex descriptor, so the megakernel can COMPUTE
-    the texels in-kernel (TPU has no per-lane gather to FETCH them).
-    File-backed images have no descriptor -> wavefront gather path."""
+    is megakernel-servable: either it carries a render/proctex
+    descriptor (the texels are COMPUTED in-kernel — TPU has no per-lane
+    gather to FETCH them) or it is a small file-backed image that
+    pack._stage_file_textures VMEM-staged for the one-hot MXU fetch
+    (("__staged__", ...) descriptor, _sample_staged). Large file-backed
+    images stay desc=None -> wavefront gather path."""
     if not meta.textured_types and not meta.has_normal_maps:
         return True
     return all(desc is not None
                for (_slot, desc, _w, _h, _sx, _sy)
                in meta.obj_tex + meta.obj_tex_nm)
+
+
+def textures_procedural(meta: SceneMeta) -> bool:
+    """True when every sampled texture carries a PROCEDURAL proctex
+    descriptor (no VMEM-staged file images). The wavefront integrator's
+    computed-texel mode (_use_computed_tex) needs this stricter check:
+    it can only COMPUTE proctex programs — staged file textures must
+    keep the pool-gather path there."""
+    if not meta.textured_types and not meta.has_normal_maps:
+        return True
+    return all(desc is not None
+               and not (isinstance(desc, tuple) and desc
+                        and desc[0] == "__staged__")
+               for (_slot, desc, _w, _h, _sx, _sy)
+               in meta.obj_tex + meta.obj_tex_nm)
+
+
+def staged_lanes(meta: SceneMeta) -> int:
+    """Lane width of the VMEM-staged file-texture atlas this scene needs
+    (0 when nothing is staged). Mirrors pack._stage_file_textures's
+    layout: each staged texture spans ceil(h/128)*3*w lanes from its
+    base, and the atlas pads to a 128-lane multiple."""
+    m = 0
+    for (_slot, desc, _w, _h, _sx, _sy) in meta.obj_tex + meta.obj_tex_nm:
+        if isinstance(desc, tuple) and desc and desc[0] == "__staged__":
+            _, b, w, h = desc
+            m = max(m, b + (-(-h // 128)) * 3 * w)
+    return max(128, -(-m // 128) * 128) if m else 0
 
 
 def supports_scene(meta: SceneMeta, scn: SceneArrays = None) -> bool:
@@ -336,8 +367,13 @@ def default_tile(meta: SceneMeta) -> Tuple[int, int]:
       by ~1.4x and (8, 1024)/(16, 512) regress
     - primitive scenes: (64, 256) — smaller tiles let the per-tile
       bounce-loop early-exit fire sooner once every ray in the tile has
-      died; 542 vs 480 Msamples/s against the old (128, 256)"""
-    return (8, 512) if meta.has_groups else (64, 256)
+      died; 542 vs 480 Msamples/s against the old (128, 256)
+    - scenes with VMEM-staged file textures: (8, 512) — the one-hot MXU
+      texel fetch unrolls one matmul per sublane row per bounce
+      (_sample_staged), so few fat rows bound the unroll"""
+    if meta.has_groups or staged_lanes(meta):
+        return (8, 512)
+    return (64, 256)
 
 
 def default_order(meta: SceneMeta) -> str:
@@ -866,6 +902,119 @@ def _sample_proc(desc, w: int, h: int, u, v):
         bot = c10[k] * (1.0 - tx) + c11[k] * tx
         out.append(top * (1.0 - ty) + bot * ty)
     return out
+
+
+def _sample_staged(tex_ref, desc, u, v):
+    """Bilinear REPEAT sample of a VMEM-STAGED file-backed texture.
+
+    TPU vector lanes cannot gather, so the fetch is ALGEBRA on the MXU
+    (probe: tools/tex_vmem_probe.py — 0.515 Gfetch/s at 128x128 on a
+    v5e, 2x the XLA flat-pool gather the wavefront path uses): per
+    sublane row of the tile, a bilinear-weighted one-hot row matrix
+    M[h, l] = (h==y0)*(1-ty) + (h==y1)*ty selects-and-blends the two
+    texel rows of every lane with ONE [128,L]x[128,3w] matmul (row
+    blend and column blend commute, so the y-weights fold into M;
+    textures taller than 128 take one matmul per row tap, lane-masked
+    to the 128-row window each lane's y falls in), then a tx-weighted
+    one-hot lane mask — color-INDEPENDENT thanks to the atlas's
+    color-outer layout (pack._stage_file_textures), so it is built once
+    and reduces each color plane by a static slice. Cost is O(texture
+    area) per texel — why staging is capped. Coordinate semantics
+    identical to _sample_proc / uv.sample_texture_pool / tracer.cl:829,
+    and the staged texels are rgb8-quantized like the wavefront pool,
+    so the two paths agree texel-exactly."""
+    _, base, w, h = desc
+    hb = -(-h // 128)
+    win = tex_ref[:, base:base + hb * 3 * w]        # static window slice
+    fx = u * jnp.float32(w) - 0.5
+    fy = v * jnp.float32(h) - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    # integer index space (Mosaic iota must be integer)
+    x0i = _wrap_tex(x0, w).astype(jnp.int32)
+    x1i = _wrap_tex(x0 + 1.0, w).astype(jnp.int32)
+    y0i = _wrap_tex(y0, h).astype(jnp.int32)
+    y1i = _wrap_tex(y0 + 1.0, h).astype(jnp.int32)
+    S, L = u.shape
+    cw = hb * w                  # one color plane's lane width
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L, cw), 1)
+    rowoh = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+
+    # fori_loop (not a static unroll) over sublane rows: the [L, *]
+    # sel/mask temporaries are reused across iterations instead of all
+    # being live at once — an S-row unroll blew Mosaic's 16 MB scoped
+    # VMEM stack at production tiles
+    def row(s, acc):
+        def take(a):             # [S, L] -> [L]: row s by masked reduce
+            # (dynamic sublane indexing of a VALUE has no Mosaic
+            # lowering; a one-hot sublane sum does the same job)
+            return jnp.sum(jnp.where(rowoh == s, a,
+                                     jnp.zeros_like(a)), axis=0)
+
+        def bc_row(a):           # [S, L] -> [128, L] (broadcast row s)
+            return jax.lax.broadcast_in_dim(take(a), (128, L), (1,))
+
+        def bc_lane(a):          # [S, L] -> [L, cw]
+            return jax.lax.broadcast_in_dim(take(a), (L, cw), (0,))
+
+        txl = bc_lane(tx)
+        if hb == 1:
+            # y-blend inside the one matmul
+            m = ((col == bc_row(y0i)).astype(jnp.float32)
+                 * bc_row(1.0 - ty)
+                 + (col == bc_row(y1i)).astype(jnp.float32)
+                 * bc_row(ty))
+            sel = jax.lax.dot_general(
+                m, win, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [L, 3w]
+            # ONE color-independent x mask (color-outer atlas layout),
+            # three static-slice reduces
+            n = ((lane == bc_lane(x0i)).astype(jnp.float32)
+                 * (1.0 - txl)
+                 + (lane == bc_lane(x1i)).astype(jnp.float32) * txl)
+            res = [jnp.sum(sel[:, c * cw:(c + 1) * cw] * n, axis=1)
+                   for c in range(3)]
+        else:
+            # two row taps; the (window, x) mask is color-independent
+            # and built once per tap
+            taps = []
+            for yi in (y0i, y1i):
+                k = yi // 128                            # window index
+                m = (col == bc_row(yi - 128 * k)).astype(jnp.float32)
+                sel = jax.lax.dot_general(
+                    m, win, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [L, 3*cw]
+                kl = bc_lane(k) * w
+                n = ((lane == (kl + bc_lane(x0i))).astype(jnp.float32)
+                     * (1.0 - txl)
+                     + (lane == (kl + bc_lane(x1i)))
+                     .astype(jnp.float32) * txl)
+                taps.append(
+                    [jnp.sum(sel[:, c * cw:(c + 1) * cw] * n, axis=1)
+                     for c in range(3)])
+            tys = take(ty)                               # [L]
+            res = [taps[0][c] * (1.0 - tys) + taps[1][c] * tys
+                   for c in range(3)]
+        # scatter the row result into the [S, L] accumulators via a
+        # row one-hot (no dynamic sublane stores on values)
+        oh = (rowoh == s).astype(jnp.float32)
+        return tuple(
+            a + oh * jax.lax.broadcast_in_dim(r, (S, L), (1,))
+            for a, r in zip(acc, res))
+
+    zero = jnp.zeros((S, L), jnp.float32)
+    return list(jax.lax.fori_loop(0, S, row, (zero, zero, zero)))
+
+
+def _sample_tex(tex_ref, desc, w, h, u, v):
+    """Texture sample dispatch: VMEM-staged file image (one-hot MXU
+    fetch) vs procedural program (computed texels)."""
+    if isinstance(desc, tuple) and desc and desc[0] == "__staged__":
+        return _sample_staged(tex_ref, desc, u, v)
+    return _sample_proc(desc, w, h, u, v)
 
 
 def _tex_groups(entries, obj_types):
@@ -1587,8 +1736,17 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
         if meta.has_normal_maps else []
     track_obj = bool(tex_groups or nm_groups)
 
-    def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, px_ref,
-               py_ref, out_r, out_g, out_b):
+    staged = staged_lanes(meta) > 0
+
+    def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, *rest):
+        # scenes with VMEM-staged file textures carry one extra input
+        # (the [128, Ltot] atlas) between the scene tables and the
+        # pixel tiles; see trace_tiles' in_specs
+        if staged:
+            tex_ref, px_ref, py_ref, out_r, out_g, out_b = rest
+        else:
+            tex_ref = None
+            px_ref, py_ref, out_r, out_g, out_b = rest
         _prng_seed(seed_ref[0], pl.program_id(0))
         # global sample base for segmented/sharded launches: the sunflower
         # DoF index must be n + base, not n, or every segment re-samples
@@ -1845,7 +2003,8 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                         jnp.logical_or, [w_obj == s for s in slots])
                     nm_u = jnp.abs(lx) * sxn
                     nm_v = jnp.abs(lz) * syn
-                    nmx, nmy, nmz = _sample_proc(desc, twn, thn, nm_u, nm_v)
+                    nmx, nmy, nmz = _sample_tex(tex_ref, desc, twn, thn,
+                                                nm_u, nm_v)
                     nlx = jnp.where(msk, nmx, nlx)
                     nly = jnp.where(msk, nmy, nly)
                     nlz = jnp.where(msk, nmz, nlz)
@@ -1870,7 +2029,8 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                         tu, tv = _spherical_uv(lx, ly, lz)
                     else:  # BOX (cube-cross)
                         tu, tv = _cube_uv(lx, ly, lz)
-                    tcr, tcg, tcb = _sample_proc(desc, tw, th, tu, tv)
+                    tcr, tcg, tcb = _sample_tex(tex_ref, desc, tw, th,
+                                                tu, tv)
                     col_r = jnp.where(msk, tcr, col_r)
                     col_g = jnp.where(msk, tcg, col_g)
                     col_b = jnp.where(msk, tcb, col_b)
@@ -2132,6 +2292,7 @@ def trace_tiles(
     tile: Tuple[int, int] = (128, 256),
     spp_pack: int = 1,
     interpret: bool = False,
+    tex: jnp.ndarray = None,    # [128, Ltot] staged file-texture atlas
 ):
     """Run the megakernel over all tiles; returns (r, g, b) sums [T*S, L].
 
@@ -2146,6 +2307,16 @@ def trace_tiles(
     n_tiles = px.shape[0] // S
     kernel = _make_kernel(meta, cfg, spp, total_samples, tile, spp_pack)
 
+    staged = staged_lanes(meta)
+    if staged:
+        if tex is None:
+            raise ValueError(
+                "scene has VMEM-staged file textures; pass "
+                "tex=arrays.tex_staged to trace_tiles")
+        if tex.shape != (128, staged):
+            raise ValueError(
+                f"staged texture atlas shape {tex.shape} != "
+                f"(128, {staged}) required by this scene's meta")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # seed
         grid=(n_tiles,),
@@ -2154,6 +2325,8 @@ def trace_tiles(
             pl.BlockSpec(memory_space=pltpu.SMEM),              # objects
             pl.BlockSpec(memory_space=pltpu.VMEM),              # BVH nodes
             pl.BlockSpec(memory_space=pltpu.VMEM),              # triangles
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)]            # staged
+             if staged else []) + [                             # atlas
             pl.BlockSpec((S, L), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),              # px
             pl.BlockSpec((S, L), lambda i, *_: (i, 0),
@@ -2176,12 +2349,14 @@ def trace_tiles(
     prev = _SW_PRNG
     _SW_PRNG = bool(interpret)
     try:
+        args = (seed, cam_vec, obj_table, node_table, tri_table) + (
+            (tex,) if staged else ()) + (px, py)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,  # CPU testing (tests/test_pallas.py)
-        )(seed, cam_vec, obj_table, node_table, tri_table, px, py)
+        )(*args)
     finally:
         _SW_PRNG = prev
 
@@ -2209,6 +2384,7 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
         cam_vec, obj_table, nodes, tris, px, py,
         meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples, tile=(S, L),
         spp_pack=pack, interpret=interpret,
+        tex=scn.tex_staged if staged_lanes(meta) else None,
     )
     img = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
     img = untile_image(img.reshape(-1, 3), pid, W, H).reshape(H, W, 3)

@@ -96,6 +96,13 @@ class SceneArrays(NamedTuple):
     tex_nm_base: jnp.ndarray       # [No] (normal map; planes only)
     tex_nm_w: jnp.ndarray          # [No]
     tex_nm_h: jnp.ndarray          # [No]
+    # VMEM-staged atlas of SMALL file-backed textures for the megakernel's
+    # one-hot MXU texel fetch (pallas_kernel._sample_staged): [128, Ltot]
+    # f32, each staged texture holding ceil(h/128) lane windows of
+    # [r w | g w | b w] planes, rgb8-quantized to match tex_pool_u32
+    # exactly. [8, 128] zeros when nothing is staged (see
+    # _stage_file_textures for the staging rules).
+    tex_staged: jnp.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,6 +236,85 @@ def _build_texel_pool(kind_images):
         f"texel pool has {pool.size} texels; f32-exact base offsets cap "
         "at 2^24 — switch tex_base to an i32 side-table to grow further")
     return pool, pool_quad, tables
+
+
+_STAGE_HB = 128  # sublane rows per staged-atlas lane window
+
+
+def _stage_file_textures(obj_tex, obj_tex_nm, tex_ims, nm_ims):
+    """VMEM-stage small FILE-BACKED textures so the megakernel can sample
+    them in-kernel (the reference samples arbitrary image2d_array_t
+    textures in its hot loop, tracer.cl:829,1077-1093).
+
+    An obj_tex entry whose desc is None (no proctex program — a
+    user-supplied PNG) gets its image staged into one shared [128, Ltot]
+    f32 atlas — ceil(h/128) lane windows of [r w | g w | b w] planes,
+    rgb8-quantized so staged texels equal the wavefront pool's texels
+    bit-exactly — and its desc replaced by the hashable marker
+    ("__staged__", base_lane, w, h) that pallas_kernel._sample_staged
+    dispatches on. The fetch is one-hot MXU algebra (no per-lane gather
+    on TPU), whose cost grows with texture AREA (~3*h*w MAC/texel;
+    measured 0.515 Gfetch/s at 128x128 on a v5e — 2x the XLA gather the
+    wavefront path pays; tools/tex_vmem_probe.py). Staging is therefore
+    capped: per-image area <= PT_TEX_STAGE_AREA (default 256*256) and
+    total atlas <= PT_TEX_STAGE_LANES lanes (default 4096 = 2 MB f32 of
+    VMEM). Any file texture left unstaged keeps desc None, which routes
+    the whole scene to the wavefront gather path
+    (pallas_kernel.textures_computable). PT_TEX_STAGE=0 disables.
+    """
+    if os.environ.get("PT_TEX_STAGE", "1") == "0":
+        return obj_tex, obj_tex_nm, None
+    max_area = int(os.environ.get("PT_TEX_STAGE_AREA", str(256 * 256)))
+    max_lanes = int(os.environ.get("PT_TEX_STAGE_LANES", "4096"))
+    # unique file-backed images, in first-use order
+    blocks = {}
+    order = []
+    for entries, ims in ((obj_tex, tex_ims), (obj_tex_nm, nm_ims)):
+        for (slot, desc, w, h, sx, sy), im in zip(entries, ims):
+            if desc is None and im is not None and id(im) not in blocks:
+                blocks[id(im)] = im
+                order.append(id(im))
+    base = {}
+    off = 0
+    for key in order:
+        im = blocks[key]
+        h, w = int(im.shape[0]), int(im.shape[1])
+        hb = -(-h // _STAGE_HB)
+        if h * w > max_area or off + hb * 3 * w > max_lanes:
+            continue
+        base[key] = off
+        off += hb * 3 * w
+    if not base:
+        return obj_tex, obj_tex_nm, None
+    ltot = max(128, -(-off // 128) * 128)
+    atlas = np.zeros((_STAGE_HB, ltot), np.float32)
+    for key, b in base.items():
+        im = blocks[key]
+        h, w = int(im.shape[0]), int(im.shape[1])
+        q = np.clip(np.round(np.asarray(im[..., :3], np.float64) * 255.0),
+                    0, 255).astype(np.float32) / np.float32(255.0)
+        hb = -(-h // _STAGE_HB)
+        # COLOR-OUTER window layout: [r: hb windows of w | g | b], so
+        # the sampler's x/window lane mask is color-independent (built
+        # once, reused for all three planes; offset(c,k,x) = c*hb*w +
+        # k*w + x)
+        for k in range(hb):
+            rows = q[k * _STAGE_HB:(k + 1) * _STAGE_HB]
+            for c in range(3):
+                atlas[: rows.shape[0],
+                      b + (c * hb + k) * w: b + (c * hb + k + 1) * w] = \
+                    rows[..., c]
+
+    def upgrade(entries, ims):
+        out = []
+        for (slot, desc, w, h, sx, sy), im in zip(entries, ims):
+            if desc is None and im is not None and id(im) in base:
+                desc = ("__staged__", base[id(im)],
+                        int(im.shape[1]), int(im.shape[0]))
+            out.append((slot, desc, w, h, sx, sy))
+        return out
+
+    return upgrade(obj_tex, tex_ims), upgrade(obj_tex_nm, nm_ims), atlas
 
 
 def pack_scene(
@@ -381,6 +467,8 @@ def pack_scene(
                         "cube": list(cube_textures)}
     obj_tex: List[Tuple] = []
     obj_tex_nm: List[Tuple] = []
+    obj_tex_im: List = []       # entry-aligned images (for VMEM staging)
+    obj_tex_nm_im: List = []
     for i in range(n):
         kind = _kind_of_type.get(int(obj_type[i]))
         entries = pool_tables.get(kind, [])
@@ -400,6 +488,7 @@ def pack_scene(
                 int(im.shape[0]) if im is not None else 1,
                 float(tex_scale[i][0]), float(tex_scale[i][1]),
             ))
+            obj_tex_im.append(im)
         if is_tex_nm[i] and int(obj_type[i]) == PLANE:
             ims = kind_image_lists["planar"]
             im = ims[tex_idx_nm[i]] if tex_idx_nm[i] < len(ims) else None
@@ -410,6 +499,10 @@ def pack_scene(
                 int(im.shape[0]) if im is not None else 1,
                 float(tex_scale_nm[i][0]), float(tex_scale_nm[i][1]),
             ))
+            obj_tex_nm_im.append(im)
+
+    obj_tex, obj_tex_nm, staged_atlas = _stage_file_textures(
+        obj_tex, obj_tex_nm, obj_tex_im, obj_tex_nm_im)
 
     arrays = SceneArrays(
         obj_type=i32(obj_type),
@@ -458,6 +551,9 @@ def pack_scene(
         tex_nm_base=f(pool_nm_base),
         tex_nm_w=f(pool_nm_w),
         tex_nm_h=f(pool_nm_h),
+        tex_staged=(jnp.asarray(staged_atlas)
+                    if staged_atlas is not None
+                    else jnp.zeros((8, 128), jnp.float32)),
     )
     textured_types = sorted(
         {int(obj_type[i]) for i, s in enumerate(objects)

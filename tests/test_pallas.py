@@ -48,11 +48,16 @@ def test_supports_scene_classification(small_cfg):
 
 
 def test_supports_scene_file_texture_falls_back(small_cfg):
-    """A scene whose texture is a FILE image (no proctex descriptor)
-    cannot be computed in-kernel and must stay on the wavefront path."""
+    """A scene sampling a LARGE file image (no proctex descriptor, too
+    big to VMEM-stage: the one-hot MXU fetch costs O(texture area) per
+    texel, pack._stage_file_textures) must stay on the wavefront path.
+    Small file images ARE staged and supported — see
+    test_megakernel_staged_file_textures_match_proc."""
     sc = get_scene("textures", small_cfg)
-    # strip the descriptor from one texture, as a loaded PNG would be
+    # strip the descriptor from one texture, as a loaded PNG would be;
+    # at 512x512 it exceeds the PT_TEX_STAGE_AREA default (256x256)
     sc.textures[0] = np.asarray(sc.textures[0])
+    assert sc.textures[0].shape[0] * sc.textures[0].shape[1] > 256 * 256
     _, meta = sc.pack()
     assert not supports_scene(meta)
 
@@ -512,3 +517,138 @@ def test_megakernel_coherent_same_estimator(monkeypatch):
     # and coherence must actually change the draws (guard against the
     # knob silently not wiring through)
     assert not np.allclose(img_c, img_i)
+
+
+def _checker_texture_lists(h=128, w=128, sw=256):
+    """Checker textures for EXACT proc-vs-staged parity: piecewise
+    constant, so the jnp program and the host pool agree on every texel
+    (no value-noise rounding ties); matches the `textures` scene's
+    index layout (0..2 color, 3 nm unused; sphere 0/1)."""
+    from pathtracer_tpu.render import proctex
+
+    mk = lambda ph, pw, c1, c2: proctex.make(
+        ("checker", (8, c1, c2)), ph, pw)
+    tex = [mk(h, w, (0.9, 0.9, 0.9), (0.2, 0.2, 0.2)),
+           mk(h, w, (0.8, 0.5, 0.3), (0.3, 0.5, 0.8)),
+           mk(h, w, (0.7, 0.7, 0.2), (0.2, 0.7, 0.7)),
+           mk(h, w, (0.5, 0.5, 1.0), (0.5, 1.0, 0.5))]
+    sph = [mk(h, sw, (0.9, 0.6, 0.3), (0.1, 0.3, 0.6)),
+           mk(h, sw, (0.8, 0.7, 0.5), (0.4, 0.3, 0.2))]
+    return tex, sph
+
+
+def _strip_normal_maps(sc):
+    """Disable normal maps: a <=1/255 nm texel difference tilts a
+    normal, which redirects a bounce ray onto a different object —
+    chaotic amplification that exact-parity tests must exclude
+    (color texels only scale radiance linearly)."""
+    for o in sc.objects:
+        o.material.textured_nm = False
+
+
+def _small_texture_lists(h=128, w=128, sw=256):
+    """Small proc textures matching the `textures` scene's index layout
+    (0 squares, 1 cobblestone, 2 floorboards, 3 squares_nm; sphere 0
+    planet, 1 jupiter)."""
+    from pathtracer_tpu.render import proctex
+
+    tex = [proctex.make(("squares", (7,)), h, w),
+           proctex.make(("cobblestone", (11, 13)), h, w),
+           proctex.make(("floorboards", (17,)), h, w),
+           proctex.make(("squares_nm", ()), h, w)]
+    sph = [proctex.make(("planet", (23,)), h, sw),
+           proctex.make(("jupiter", (31,)), h, sw)]
+    return tex, sph
+
+
+def test_megakernel_staged_file_textures_match_proc():
+    """VMEM-staged FILE-BACKED textures (one-hot MXU fetch,
+    pallas_kernel._sample_staged) vs the same texel data as procedural
+    programs (computed in-kernel): identical PRNG streams and identical
+    rgb8-quantized texels, so the two renders must agree to float
+    round-off — the bilinear blend merely associates differently.
+    Closes the last reference-capability row (image2d_array_t sampling
+    in the hot loop, tracer.cl:829,1077-1093)."""
+    from pathtracer_tpu.render.pallas_kernel import staged_lanes
+
+    cfg = RenderConfig(width=32, height=24, samples=8, samples_per_pass=8)
+    tex, sph = _checker_texture_lists()
+
+    sc_p = get_scene("textures", cfg)
+    _strip_normal_maps(sc_p)
+    sc_p.textures = list(tex)
+    sc_p.sphere_textures = list(sph)
+    arr_p, meta_p = sc_p.pack()
+    assert staged_lanes(meta_p) == 0 and supports_scene(meta_p)
+
+    sc_f = get_scene("textures", cfg)
+    _strip_normal_maps(sc_f)
+    sc_f.textures = [np.asarray(t).copy() for t in tex]
+    sc_f.sphere_textures = [np.asarray(t).copy() for t in sph]
+    arr_f, meta_f = sc_f.pack()
+    assert staged_lanes(meta_f) > 0 and supports_scene(meta_f)
+
+    # pin the tile: staged scenes default to (8, 512) while proc scenes
+    # use (64, 256), which would change the per-tile PRNG streams
+    img_p = render_pallas(arr_p, meta_p, sc_p.camera, cfg, interpret=True,
+                          tile=(8, 256))
+    img_f = render_pallas(arr_f, meta_f, sc_f.camera, cfg, interpret=True,
+                          tile=(8, 256))
+    d = np.abs(img_p - img_f)
+    assert d.max() < 2e-2 and d.mean() < 1e-3, (d.max(), d.mean())
+
+
+def test_megakernel_staged_multiwindow_texture():
+    """A staged texture taller than 128 rows spans multiple atlas lane
+    windows (the two-matmul path in _sample_staged); parity vs the same
+    data as a procedural program."""
+    from pathtracer_tpu.render import proctex
+    from pathtracer_tpu.render.pallas_kernel import staged_lanes
+
+    cfg = RenderConfig(width=32, height=24, samples=8, samples_per_pass=8)
+    tex, sph = _checker_texture_lists()
+    # floor texture (index 1) becomes 256x96: spans two lane windows
+    tex[1] = proctex.make(
+        ("checker", (8, (0.8, 0.5, 0.3), (0.3, 0.5, 0.8))), 256, 96)
+
+    sc_p = get_scene("textures", cfg)
+    _strip_normal_maps(sc_p)
+    sc_p.textures = list(tex)
+    sc_p.sphere_textures = list(sph)
+    arr_p, meta_p = sc_p.pack()
+
+    sc_f = get_scene("textures", cfg)
+    _strip_normal_maps(sc_f)
+    sc_f.textures = [np.asarray(t).copy() for t in tex]
+    sc_f.sphere_textures = [np.asarray(t).copy() for t in sph]
+    arr_f, meta_f = sc_f.pack()
+    assert staged_lanes(meta_f) > 0
+
+    img_p = render_pallas(arr_p, meta_p, sc_p.camera, cfg, interpret=True,
+                          tile=(8, 256))
+    img_f = render_pallas(arr_f, meta_f, sc_f.camera, cfg, interpret=True,
+                          tile=(8, 256))
+    d = np.abs(img_p - img_f)
+    assert d.max() < 2e-2 and d.mean() < 1e-3, (d.max(), d.mean())
+
+
+def test_staged_wavefront_uses_pool_gathers():
+    """A staged scene on the WAVEFRONT path must gather from the texel
+    pool (staged descs are not proctex programs): the render must still
+    be a consistent estimator of the staged megakernel's integral.
+    Exercises staged NORMAL MAPS too (both paths read identical rgb8
+    nm texels, so the estimators match statistically)."""
+    from pathtracer_tpu.render.integrator import render
+
+    cfg = RenderConfig(width=32, height=24, samples=32,
+                       samples_per_pass=32)
+    tex, sph = _small_texture_lists()
+    sc = get_scene("textures", cfg)
+    sc.textures = [np.asarray(t).copy() for t in tex]
+    sc.sphere_textures = [np.asarray(t).copy() for t in sph]
+    arrays, meta = sc.pack()
+    img_w = render(arrays, meta, sc.camera, cfg)
+    img_p = render_pallas(arrays, meta, sc.camera, cfg, interpret=True)
+    assert np.isfinite(img_w).all()
+    assert abs(img_p.mean() - img_w.mean()) < 0.04
+    assert np.abs(img_p - img_w).mean() < 0.2

@@ -40,11 +40,13 @@ def check(scene: str) -> bool:
     obj, nodes, tris = pk.scene_tables_jnp(
         arrays, meta, traversal=pk.traversal_mode(meta))
     cam = jnp.asarray(pk.build_camera_vec(sc.camera))
+    tex = arrays.tex_staged if pk.staged_lanes(meta) else None
 
     def fn(seed, cam, obj, nodes, tris, px, py):
         r, g, b = pk.trace_tiles(seed, cam, obj, nodes, tris, px, py,
                                  meta=meta, cfg=cfg, spp=8,
-                                 total_samples=cfg.samples, tile=(S, L))
+                                 total_samples=cfg.samples, tile=(S, L),
+                                 tex=tex)
         return r + g + b
 
     args = (jnp.asarray([0, 0], jnp.int32), cam, obj, nodes, tris,
@@ -162,6 +164,51 @@ def check_grad(scene: str, tri: bool, spp: int) -> bool:
         return False
 
 
+def check_staged() -> bool:
+    """Lower the megakernel with VMEM-STAGED file-backed textures (the
+    one-hot MXU texel fetch, _sample_staged): both the single-window
+    (h<=128) and two-matmul multi-window (h>128) paths."""
+    import numpy as np
+
+    from pathtracer_tpu.render import proctex
+
+    cfg = RenderConfig(width=64, height=48, samples=8, samples_per_pass=8)
+    sc = get_scene("textures", cfg)
+    mk = lambda h, w: np.asarray(
+        proctex.make(("checker", (8, (0.9,) * 3, (0.2,) * 3)), h, w)
+    ).copy()
+    sc.textures = [mk(128, 128), mk(256, 96), mk(128, 128), mk(128, 128)]
+    sc.sphere_textures = [mk(128, 256), mk(128, 256)]
+    arrays, meta = sc.pack()
+    if not pk.staged_lanes(meta):
+        print("[staged] FAILED: textures were not staged")
+        return False
+    S, L = pk.default_tile(meta)
+    xs, ys, _pid = pk.tile_pixel_layout(cfg.width, cfg.height, S, L,
+                                        order=pk.default_order(meta))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
+    cam = jnp.asarray(pk.build_camera_vec(sc.camera))
+
+    def fn(seed, cam, obj, nodes, tris, tex, px, py):
+        r, g, b = pk.trace_tiles(seed, cam, obj, nodes, tris, px, py,
+                                 meta=meta, cfg=cfg, spp=8,
+                                 total_samples=cfg.samples, tile=(S, L),
+                                 tex=tex)
+        return r + g + b
+
+    args = (jnp.asarray([0, 0], jnp.int32), cam, obj, nodes, tris,
+            arrays.tex_staged, jnp.asarray(xs), jnp.asarray(ys))
+    try:
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        print(f"[staged] megakernel w/ VMEM-staged file textures TPU "
+              f"lowering OK ({len(exp.mlir_module())} bytes)")
+        return True
+    except Exception as e:  # noqa: BLE001 — report and continue
+        msg = str(e).splitlines()[0][:300]
+        print(f"[staged] TPU lowering FAILED: {type(e).__name__}: {msg}")
+        return False
+
+
 if __name__ == "__main__":
     scenes = sys.argv[1:] or ["reference", "teapot", "gopher"]
     ok = all([check(s) for s in scenes])
@@ -170,4 +217,5 @@ if __name__ == "__main__":
         ok &= check_nee("reference")
         ok &= check_grad("reference", tri=False, spp=8)
         ok &= check_grad("teapot", tri=True, spp=4)
+        ok &= check_staged()
     sys.exit(0 if ok else 1)
