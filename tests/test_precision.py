@@ -35,3 +35,40 @@ def test_f32_matches_f64_golden():
         assert np.abs(img32 - img64).mean() < 0.02
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="needs a TPU device")
+def test_f64_render_on_tpu_matches_cpu_golden(tmp_path):
+    """Device-side f64 rendering ON THE TPU (the reference computes in
+    double throughout its kernel, tracer.cl; README.md:50-59 documents
+    its fp64 device quirks). XLA:TPU emulates f64 — slow but exact
+    enough that the same threefry streams + deterministic math give a
+    render identical (at the .raw format's f32 precision) to the CPU
+    f64 golden. Subprocess-isolated because jax_enable_x64 is a
+    process-global flag."""
+    import os
+    import subprocess
+    import sys
+
+    from pathtracer_tpu.io.raw import read_raw
+
+    def render_to(raw_path, platform_env):
+        env = dict(os.environ, **platform_env)
+        cmd = [sys.executable, "-m", "pathtracer_tpu",
+               "--scene", "reference", "--dtype", "float64",
+               "--width", "48", "--height", "32",
+               "--samples", "4", "--samples-per-pass", "4",
+               "--output", str(raw_path) + ".png",
+               "--raw-output", str(raw_path)]
+        subprocess.run(cmd, check=True, env=env, timeout=540,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+        return np.asarray(read_raw(str(raw_path)), np.float64)
+
+    tpu = render_to(tmp_path / "tpu.raw", {})
+    cpu = render_to(tmp_path / "cpu.raw", {"JAX_PLATFORMS": "cpu"})
+    assert np.isfinite(tpu).all()
+    assert np.array_equal(tpu, cpu), (
+        f"f64 TPU render != CPU f64 golden (max diff "
+        f"{np.abs(tpu - cpu).max()})")
