@@ -260,6 +260,9 @@ def _extra_records(width, height):
                            # textured scenes ride the megakernel now
                            # (computed texels, render/proctex.py)
                            ("textures", bench_pallas, 32),
+                           # file-backed images: VMEM-staged in-kernel
+                           # fetch (pack._stage_file_textures)
+                           ("textures-file", bench_pallas, 32),
                            ("cubemap", bench_pallas, 8),
                            ("reference", bench_diff, 32)):
         tag = ("fwd_bwd_reference" if fn is bench_diff

@@ -169,3 +169,32 @@ def reflections_scene(cfg: RenderConfig) -> Scene:
     objects = [lightsource, floor, ceil, left_wall, right_wall, back_wall,
                left_sphere, right_sphere]
     return Scene(camera=default_camera(cfg), objects=objects)
+
+
+@register("textures-file")
+def textured_planets_file_scene(cfg: RenderConfig) -> Scene:
+    """`textures` with small FILE-BACKED images (plain arrays, no proctex
+    descriptor — exactly what a user-loaded PNG looks like). Demonstrates
+    the VMEM-staged in-kernel texel fetch (pack._stage_file_textures /
+    pallas_kernel._sample_staged): the reference samples arbitrary
+    image2d_array_t textures in its hot loop (tracer.cl:829,1077-1093);
+    here small images ride the megakernel and large ones fall back to
+    the wavefront gather path. Extension scene — not one of the
+    reference's 15 (cmd/pt/main.go:27-43)."""
+    import numpy as np
+
+    from ..render import proctex
+
+    sc = textured_planets_scene(cfg)
+    mk = lambda d, h, w: np.asarray(proctex.make(d, h, w)).copy()
+    sc.textures = [
+        mk(("squares", (7,)), 128, 128),
+        mk(("cobblestone", (11, 13)), 256, 96),   # spans 2 lane windows
+        mk(("floorboards", (17,)), 128, 128),
+        mk(("squares_nm", ()), 128, 128),
+    ]
+    sc.sphere_textures = [
+        mk(("planet", (23,)), 128, 256),
+        mk(("jupiter", (31,)), 128, 256),
+    ]
+    return sc

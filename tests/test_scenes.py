@@ -1,5 +1,6 @@
 """Scene registry regression: all 15 reference scenes (cmd/pt/main.go:27-43)
-pack with the expected structure."""
+pack with the expected structure (+ the `textures-file` extension scene,
+which demonstrates VMEM-staged file-backed textures)."""
 import pytest
 
 from pathtracer_tpu.config import RenderConfig
@@ -15,6 +16,7 @@ EXPECTED = {
     "gopher-window": (15, True, False),
     "christian": (15, True, False),
     "textures": (9, False, True),
+    "textures-file": (9, False, True),
     "envmap": (2, False, True),
     "cubemap": (4, True, True),
     "reflection": (8, False, False),
