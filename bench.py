@@ -97,6 +97,9 @@ def bench_diff(cfg, sc, arrays, meta, spp):
         os.environ.get("BENCH_DIFF_BACKEND", "auto") != "wavefront"
         and jax.devices()[0].platform == "tpu"
         and pk.supports_scene(meta)
+        # the diff megakernel differentiates object color/emission only;
+        # textured scenes train through the wavefront AD path
+        and not meta.textured_types and not meta.has_normal_maps
     )
     if use_mk:
         return bench_diff_megakernel(cfg, sc, arrays, meta, spp)
