@@ -10,8 +10,13 @@ in tests/test_grad.py). Outputs a side-by-side PNG
 
 Usage:
     python tools/train_demo.py [--steps 200] [--out docs/renders/train_demo.png]
+    python tools/train_demo.py --tri --scene teapot   # MESH inverse
+        # rendering: recover PER-TRIANGLE colors through the fused
+        # differentiable megakernel's spp-batched tri tape
+        # (diff.make_megakernel_step_tri / pallas_grad.make_diff_render_tri)
 
-Works on CPU (JAX_PLATFORMS=cpu, slower) or the TPU chip.
+Works on CPU (JAX_PLATFORMS=cpu, slower) or the TPU chip (--tri needs
+the TPU or --interpret).
 """
 import argparse
 import sys
@@ -30,7 +35,15 @@ def main():
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--lr", type=float, default=0.02)
     ap.add_argument("--out", default="docs/renders/train_demo.png")
+    ap.add_argument("--tri", action="store_true",
+                    help="mesh mode: recover per-triangle colors via the "
+                         "differentiable megakernel tri tape")
+    ap.add_argument("--scene", default="teapot")
+    ap.add_argument("--interpret", action="store_true",
+                    help="interpret-mode kernels (CPU; slow, tiny sizes)")
     args = ap.parse_args()
+    if args.tri:
+        return main_tri(args)
 
     import jax
     import jax.numpy as jnp
@@ -146,6 +159,123 @@ def main():
                            axis=1)
     write_png(args.out, strip)
     print(f"wrote {args.out} (target | perturbed | recovered)")
+    return err0, err1
+
+
+def main_tri(args):
+    """Mesh inverse rendering: perturb every real triangle's color, then
+    recover by adam through the differentiable megakernel's per-triangle
+    tape (per-triangle materials: reference scene.go:100-101 /
+    tracer.cl:672; the reference itself has no gradients at all)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.io.png import write_png
+    from pathtracer_tpu.render import pallas_kernel as pk
+    from pathtracer_tpu.render.pallas_grad import make_diff_render_tri
+    from pathtracer_tpu.scenes import get_scene
+
+    W, H = args.width, args.height
+    cfg = RenderConfig(width=W, height=H, samples=args.spp,
+                       samples_per_pass=args.spp)
+    sc = get_scene(args.scene, cfg)
+    arrays, meta = sc.pack()
+    assert meta.has_groups, "--tri needs a mesh scene (e.g. teapot)"
+    S, L = (8, 512) if not args.interpret else (8, 128)
+    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
+                                       order=pk.default_order(meta))
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta,
+                                           traversal="classic")
+    # spp per launch is capped by the tri tape's VMEM block budget;
+    # accumulate passes for the requested total
+    spp = min(args.spp, 4)
+    n_passes = max(1, args.spp // spp)
+    total = n_passes * spp
+    render = make_diff_render_tri(meta, cfg, total, (S, L), spp=spp,
+                                  interpret=args.interpret)
+    valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
+    n_valid = float(np.asarray(valid).sum())
+    inv = 1.0 / float(total)
+    # fixed seeds: COMMON RANDOM NUMBERS between the target and every
+    # training estimate (see the sphere demo above)
+    seeds = [jnp.asarray([11 + i * 7919, i * spp], jnp.int32)
+             for i in range(n_passes)]
+
+    def forward(c, e, tc):
+        r = g = b = jnp.zeros(px.shape, jnp.float32)
+        for sd in seeds:
+            rr, gg, bb = render(c, e, tc, sd, cam_vec, obj, nodes, tris,
+                                px, py)
+            r, g, b = r + rr, g + gg, b + bb
+        return r * inv, g * inv, b * inv
+
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    tc_true = jnp.asarray(arrays.tri_color, jnp.float32)
+    # real (non-padding) triangle slots have a nonzero geometric normal
+    ng = np.cross(np.asarray(arrays.tri_e1), np.asarray(arrays.tri_e2))
+    real = (ng * ng).sum(axis=1) > 0
+    rng = np.random.default_rng(5)
+    tc0 = np.asarray(tc_true).copy()
+    tc0[real] = np.clip(
+        tc0[real] + rng.uniform(-0.35, 0.35, tc0[real].shape), 0.05, 1.0)
+    tc0 = jnp.asarray(tc0)
+
+    target = [jax.lax.stop_gradient(t)
+              for t in jax.jit(forward)(color, emission, tc_true)]
+
+    def loss_fn(tc):
+        r, g, b = forward(color, emission, tc)
+        return sum(jnp.sum(((x - t) * valid) ** 2)
+                   for x, t in zip((r, g, b), target)) / (3.0 * n_valid)
+
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(tc0)
+
+    @jax.jit
+    def step(tc, st):
+        loss, gt = jax.value_and_grad(loss_fn)(tc)
+        up, st = opt.update(gt, st, tc)
+        tc = jnp.clip(optax.apply_updates(tc, up), 0.0, 1.0)
+        return tc, st, loss
+
+    tc = tc0
+    tc, opt_state, loss0 = step(tc, opt_state)   # compile + step 0
+    float(loss0)
+    t0 = time.time()
+    losses = [float(loss0)]
+    for i in range(1, args.steps):
+        tc, opt_state, loss = step(tc, opt_state)
+        losses.append(float(loss))
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i:4d}  loss {losses[-1]:.6f}", flush=True)
+    dt = time.time() - t0
+    rate = W * H * total * max(1, args.steps - 1) / dt / 1e6
+
+    err0 = float(np.abs(np.asarray(tc_true)[real] - tc0[real]).mean())
+    err1 = float(np.abs(np.asarray(tc_true)[real]
+                        - np.asarray(tc)[real]).mean())
+    print(f"{args.steps} tri steps in {dt:.1f}s "
+          f"({rate:.2f} Msamples/s fwd+bwd, {real.sum()} triangles); "
+          f"loss {losses[0]:.6f} -> {losses[-1]:.6f}; "
+          f"tri-color MAD {err0:.4f} -> {err1:.4f}")
+
+    def to_img(tcv):
+        r, g, b = jax.jit(forward)(color, emission, tcv)
+        img = np.stack([np.asarray(r).ravel(), np.asarray(g).ravel(),
+                        np.asarray(b).ravel()], -1)
+        return pk.untile_image(img, pid, W, H).reshape(H, W, 3)
+
+    strip = np.concatenate(
+        [to_img(tc_true), to_img(tc0), to_img(tc)], axis=1)
+    out = args.out if args.out != "docs/renders/train_demo.png"         else "docs/renders/train_demo_tri.png"
+    write_png(out, strip)
+    print(f"wrote {out} (target | perturbed | recovered)")
     return err0, err1
 
 
