@@ -48,10 +48,11 @@ def bench_pallas(cfg, sc, arrays, meta, spp):
     tile_env = os.environ.get("BENCH_TILE")
     S, L = (tuple(int(v) for v in tile_env.split("x")) if tile_env
             else pk.default_tile(meta))
-    pack = min(pk.default_pack(meta, spp), S)
+    axis = pk.default_pack_axis(meta)
+    pack = pk.clamp_pack(pk.default_pack(meta, spp), S, L, axis)
     xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L,
                                         order=pk.default_order(meta),
-                                        spp_pack=pack)
+                                        spp_pack=pack, pack_axis=axis)
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))

@@ -177,10 +177,12 @@ def render_driver(
     # slot->pixel layout identity for checkpoint validation (the pallas
     # paths tile and reorder pixels; see _checkpoint_save)
     layout_tag = (
-        "tile%dx%d:%s:pack%d" % (
+        "tile%dx%d:%s:pack%d%s" % (
             *pk.default_tile(meta), pk.default_order(meta),
-            min(pk.default_pack(meta, spp_chunk),
-                pk.default_tile(meta)[0]))
+            pk.clamp_pack(pk.default_pack(meta, spp_chunk),
+                          *pk.default_tile(meta),
+                          pk.default_pack_axis(meta)),
+            pk.default_pack_axis(meta))
         if use_pallas else "linear"
     )
     spp_axis = 1
@@ -230,11 +232,13 @@ def render_driver(
     elif use_pallas:
         S, L = pk.default_tile(meta)
         # packing must divide every segment's spp = n * spp_chunk, so
-        # clamp it to the chunk (and the sublane count)
-        pack = min(pk.default_pack(meta, spp_chunk), S)
+        # clamp it to the chunk (and the packing axis's capacity)
+        axis = pk.default_pack_axis(meta)
+        pack = pk.clamp_pack(pk.default_pack(meta, spp_chunk), S, L, axis)
         xs2, ys2, pid = pk.tile_pixel_layout(W, H, S, L,
                                              order=pk.default_order(meta),
-                                             spp_pack=pack)
+                                             spp_pack=pack,
+                                             pack_axis=axis)
         px2 = jnp.asarray(xs2)
         py2 = jnp.asarray(ys2)
         padded_pixels = pid.shape[0]
@@ -260,6 +264,7 @@ def render_driver(
                 seed, cam_vec, obj_table, nodes, tris, px2, py2,
                 meta=meta, cfg=cfg, spp=int(n) * spp_chunk,
                 total_samples=cfg.samples, tile=(S, L), spp_pack=pack,
+                pack_axis=axis,
                 tex=(scn.tex_staged if pk.staged_lanes(meta) else None),
             )
             return Vec3(r.reshape(-1), g.reshape(-1), b.reshape(-1))

@@ -340,16 +340,17 @@ def render_sharded_pallas(
     # the requested sample count when samples % spp_axis != 0
     local_spp = max(1, -(-cfg.samples // spp_axis))
     total_spp = local_spp * spp_axis
-    # sample-in-rows packing (pallas_kernel.default_pack): must divide
-    # the per-shard sample budget and the sublane count
-    pack = min(pk.default_pack(meta, local_spp), S)
+    # sample packing (pallas_kernel.default_pack / default_pack_axis):
+    # must divide the per-shard sample budget and the axis capacity
+    axis = pk.default_pack_axis(meta)
+    pack = pk.clamp_pack(pk.default_pack(meta, local_spp), S, L, axis)
 
     # tile rows padded so each pixel shard holds a whole number of tiles
     n_pix = W * H
     xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
                                        shard_granule=n_pix_shards,
                                        order=pk.default_order(meta),
-                                       spp_pack=pack)
+                                       spp_pack=pack, pack_axis=axis)
 
     shard = NamedSharding(mesh, P("pixels"))
     rep = NamedSharding(mesh, P())
@@ -386,7 +387,8 @@ def render_sharded_pallas(
         r, g, b = pk.trace_tiles(
             jnp.stack([seed, base]), cam_vec, obj, nodes, tris, px_s, py_s,
             meta=meta, cfg=cfg, spp=local_spp, total_samples=cfg.samples,
-            tile=(S, L), spp_pack=pack, interpret=interpret,
+            tile=(S, L), spp_pack=pack, pack_axis=axis,
+            interpret=interpret,
             tex=tex if staged else None,
         )
         return (jax.lax.psum(r, "spp"), jax.lax.psum(g, "spp"),

@@ -388,6 +388,41 @@ def default_order(meta: SceneMeta) -> str:
         "PT_TILE_ORDER", "block" if meta.has_groups else "linear")
 
 
+def default_pack_axis(meta: SceneMeta) -> str:
+    """Which tile axis carries the sample replicas ("row" | "chunk").
+
+    "row"   — sample-in-rows (round 3): replica r = sublane-row group r.
+    "chunk" — sample-in-lane-chunks (round 4): replica c = 128-lane
+              chunk group c. The point of chunk packing is ALIGNMENT
+              with the scratch-gated walk (_packet_traverse_gated),
+              which gates leaf work per 128-lane chunk: with chunk
+              replicas + chunk-coherent sampling (_uniform_chunk), each
+              gating chunk is ONE near-pencil after a diffuse bounce,
+              so its slab mask kills every leaf outside its own small
+              union — the gated walk then skips ~(nc-1)/nc of the leaf
+              vector work instead of ~none (with row replicas every
+              chunk mixes all spp_pack pencil directions and overlaps
+              everything). PT_PACK_AXIS overrides; the default follows
+              the round-4 hardware A/B (docs/PERFORMANCE.md).
+    """
+    import os
+
+    return os.environ.get("PT_PACK_AXIS", "row")
+
+
+def clamp_pack(pack: int, S: int, L: int, pack_axis: str) -> int:
+    """Largest packing factor <= pack the tile supports on the axis:
+    row replicas must divide S; chunk replicas must cut L into
+    128-lane-aligned groups (vreg + gating alignment)."""
+    if pack_axis == "chunk":
+        while pack > 1 and (L % pack or (L // pack) % 128):
+            pack //= 2
+    else:
+        while pack > 1 and S % pack:
+            pack //= 2
+    return max(1, pack)
+
+
 def default_pack(meta: SceneMeta, spp: int = None) -> int:
     """Sample-in-rows packing factor (see _make_kernel). Mesh scenes
     default to 8 — each (8,512) tile then traces 8 samples of one
@@ -408,7 +443,7 @@ def default_pack(meta: SceneMeta, spp: int = None) -> int:
 
 def tile_pixel_layout(W: int, H: int, S: int, L: int,
                       shard_granule: int = 1, order: str = None,
-                      spp_pack: int = 1):
+                      spp_pack: int = 1, pack_axis: str = "row"):
     """Assign pixels to ray tiles.
 
     Returns (px [rows, L] i32, py [rows, L] i32, pid [rows*L] i64) where
@@ -420,6 +455,12 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
     laid out for an (S/s, L) sub-tile, repeated across the s sublane-row
     groups. Replicated slots share the pixel id, so untile_image SUMS
     them (each slot holds spp/s of the pixel's spp samples).
+
+    pack_axis="chunk": the replicas live along the LANE dim instead —
+    one compact (S, L/s) block repeated across the s lane-chunk groups
+    (requires L/s to be a multiple of 128 so each replica is whole
+    vreg-width chunks; see default_pack_axis for why this alignment
+    matters to the gated walk).
 
     order:
     - "linear" — scanline order (tile = S*L consecutive pixels, ~3 full
@@ -454,6 +495,19 @@ def tile_pixel_layout(W: int, H: int, S: int, L: int,
 
     if order is None:
         order = os.environ.get("PT_TILE_ORDER", "block")
+    if spp_pack > 1 and pack_axis == "chunk":
+        if L % spp_pack or (L // spp_pack) % 128:
+            raise ValueError(
+                f"chunk pack={spp_pack} needs L={L} to split into "
+                f"128-lane-aligned replica groups")
+        cw = L // spp_pack
+        xs, ys, pid = tile_pixel_layout(
+            W, H, S, cw, shard_granule=shard_granule, order=order)
+        xs = np.ascontiguousarray(np.tile(xs, (1, spp_pack)))
+        ys = np.ascontiguousarray(np.tile(ys, (1, spp_pack)))
+        pid = np.ascontiguousarray(
+            np.tile(pid.reshape(-1, cw), (1, spp_pack))).reshape(-1)
+        return xs, ys, pid
     if spp_pack > 1:
         if S % spp_pack:
             raise ValueError(f"spp_pack={spp_pack} must divide S={S}")
@@ -664,6 +718,33 @@ def _uniform_row(shape, did=0, n=None, b=None):
     same pixel."""
     x = _uniform(shape, did, n, b)
     return jnp.broadcast_to(x[:, 0:1], shape)
+
+
+def _uniform_chunk(shape, cw, did=0, n=None, b=None):
+    """One shared f32 uniform in [0,1) per cw-lane CHUNK group (the
+    coherent-sampling unit for chunk-packed tiles, default_pack_axis).
+
+    Like _uniform_row, the full per-lane tile is drawn first so the
+    hardware PRNG stream advances identically in every mode; chunk c's
+    value is the draw at (row 0, lane c*cw), broadcast over the whole
+    (S, cw) replica. With chunk packing each replica group is exactly
+    one sample index of the tile's pixel block, so chunk-sharing never
+    correlates distinct samples of one pixel — while ROW-sharing here
+    WOULD (the same pixel block repeats across chunks), which is why
+    the sharing unit must follow the packing axis."""
+    S, L = shape
+    x = _uniform(shape, did, n, b)
+    # Mosaic has no combined sublane-and-lane vector broadcast
+    # ((1,1)->(S,cw) fails to lower, and a two-step composition gets
+    # re-fused by layout inference; optimization_barrier has no Pallas
+    # lowering) — but a SCALAR splat always lowers: reduce the (1,1)
+    # slice to rank 0, then jnp.full-splat it over the replica
+    x0 = x[0:1, :]
+    if cw >= L:
+        return jnp.full(shape, jnp.sum(x0[:, 0:1]), jnp.float32)
+    return jnp.concatenate(
+        [jnp.full((S, cw), jnp.sum(x0[:, c * cw:c * cw + 1]), jnp.float32)
+         for c in range(L // cw)], axis=1)
 
 
 def _mat12_point(m, x, y, z):
@@ -1704,7 +1785,7 @@ def _packet_traverse_mxu(node_ref, tri_ref, K, n_slots, eps, t_max,
 
 def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                  total_samples: int, tile: Tuple[int, int],
-                 spp_pack: int = 1):
+                 spp_pack: int = 1, pack_axis: str = "row"):
     """Build the tile kernel body closed over static scene structure.
 
     spp_pack > 1 = sample-in-rows packing: the caller's pixel layout
@@ -1716,7 +1797,12 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
     (tools/spp_pack_sim.py: 0.50x leaf visits for teapot at s=8) —
     same total rays, same estimator, the per-ray PRNG streams already
     differ per element. Only the sunflower DoF index must become
-    per-row: global sample = wave * s + replica + sample_base."""
+    per-row: global sample = wave * s + replica + sample_base.
+
+    pack_axis="chunk": replicas along 128-lane chunk groups instead
+    (default_pack_axis) — the replica index and the coherent-sampling
+    unit both become lane-chunk-based so the scratch-gated walk's
+    chunks line up with the coherent pencils."""
     obj_types = meta.obj_types
     group_bvh = {g: (r, e) for g, r, e in meta.group_bvh}
     leaf_rows = meta.leaf_size // _TRI_SLOTS_PER_ROW
@@ -1805,11 +1891,16 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 
             # DoF via sunflower(totalSamples, alpha=2, n) (tracer.cl:762-776)
             if spp_pack > 1:
-                # replica r = sublane-row group: global sample index
-                # n*s + r (+ base) per row, so packed DoF still covers
-                # the whole sunflower spiral
-                rep = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                       // (tile[0] // spp_pack))
+                # replica = sublane-row group (row axis) or lane-chunk
+                # group (chunk axis): global sample index n*s + rep
+                # (+ base) per replica, so packed DoF still covers the
+                # whole sunflower spiral
+                if pack_axis == "chunk":
+                    rep = (jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                           // (tile[1] // spp_pack))
+                else:
+                    rep = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                           // (tile[0] // spp_pack))
                 nf = (n * spp_pack + rep + sample_base).astype(jnp.float32)
             else:
                 nf = (n + sample_base).astype(jnp.float32)
@@ -2036,9 +2127,18 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                     col_b = jnp.where(msk, tcb, col_b)
 
                 # ---- material roulette (tracer.cl:982-1061) -----------
-                # coherent mode: row-shared roulette + hemisphere draws
-                # (see _coherent_sampling)
-                _udraw = _uniform_row if _coherent_sampling() else _uniform
+                # coherent mode: replica-shared roulette + hemisphere
+                # draws — per sublane row (row packing) or per lane
+                # chunk (chunk packing); see _coherent_sampling /
+                # _uniform_chunk for why the unit must follow the axis
+                if not _coherent_sampling():
+                    _udraw = _uniform
+                elif pack_axis == "chunk" and spp_pack > 1:
+                    _cw = tile[1] // spp_pack
+                    _udraw = (lambda shape, did=0, n=None, b=None:
+                              _uniform_chunk(shape, _cw, did, n, b))
+                else:
+                    _udraw = _uniform_row
                 u_refl = _udraw(shape, 2, n, b)
                 u_schl = _udraw(shape, 3, n, b)
                 u1 = _udraw(shape, 4, n, b)
@@ -2275,7 +2375,7 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "cfg", "spp", "total_samples", "tile",
-                     "spp_pack", "interpret"),
+                     "spp_pack", "pack_axis", "interpret"),
 )
 def trace_tiles(
     seed: jnp.ndarray,          # i32 [2]: (prng seed, global sample base)
@@ -2291,21 +2391,30 @@ def trace_tiles(
     total_samples: int = 1,
     tile: Tuple[int, int] = (128, 256),
     spp_pack: int = 1,
+    pack_axis: str = "row",
     interpret: bool = False,
     tex: jnp.ndarray = None,    # [128, Ltot] staged file-texture atlas
 ):
     """Run the megakernel over all tiles; returns (r, g, b) sums [T*S, L].
 
-    spp_pack: sample-in-rows packing factor (see _make_kernel). px/py
-    must come from tile_pixel_layout(spp_pack=spp_pack); each slot then
-    sums spp/spp_pack samples and untile_image adds the replicas."""
+    spp_pack: sample packing factor along `pack_axis` (see
+    _make_kernel). px/py must come from tile_pixel_layout(
+    spp_pack=spp_pack, pack_axis=pack_axis); each slot then sums
+    spp/spp_pack samples and untile_image adds the replicas."""
     S, L = tile
-    if spp % spp_pack or S % spp_pack:
+    if spp % spp_pack:
+        raise ValueError(f"spp_pack={spp_pack} must divide spp={spp}")
+    if pack_axis == "chunk":
+        if L % spp_pack or (L // spp_pack) % 128:
+            raise ValueError(
+                f"chunk pack={spp_pack} needs L={L} to split into "
+                f"128-lane-aligned replica groups")
+    elif S % spp_pack:
         raise ValueError(
-            f"spp_pack={spp_pack} must divide both spp={spp} and the "
-            f"sublane count S={S}")
+            f"spp_pack={spp_pack} must divide the sublane count S={S}")
     n_tiles = px.shape[0] // S
-    kernel = _make_kernel(meta, cfg, spp, total_samples, tile, spp_pack)
+    kernel = _make_kernel(meta, cfg, spp, total_samples, tile, spp_pack,
+                          pack_axis)
 
     staged = staged_lanes(meta)
     if staged:
@@ -2370,9 +2479,10 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
     S, L = tile if tile is not None else default_tile(meta)
 
     spp = cfg.samples
-    pack = min(default_pack(meta, spp), S)
+    axis = default_pack_axis(meta)
+    pack = clamp_pack(default_pack(meta, spp), S, L, axis)
     xs, ys, pid = tile_pixel_layout(W, H, S, L, order=default_order(meta),
-                                    spp_pack=pack)
+                                    spp_pack=pack, pack_axis=axis)
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
     cam_vec = jnp.asarray(build_camera_vec(camera))
@@ -2383,7 +2493,7 @@ def render_pallas(scn: SceneArrays, meta: SceneMeta, camera, cfg: RenderConfig,
         jnp.asarray([seed if seed is not None else cfg.seed, 0], jnp.int32),
         cam_vec, obj_table, nodes, tris, px, py,
         meta=meta, cfg=cfg, spp=spp, total_samples=cfg.samples, tile=(S, L),
-        spp_pack=pack, interpret=interpret,
+        spp_pack=pack, pack_axis=axis, interpret=interpret,
         tex=scn.tex_staged if staged_lanes(meta) else None,
     )
     img = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)

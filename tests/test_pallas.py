@@ -6,6 +6,8 @@ same mean image at matched spp, not bitwise (same policy the reference
 forces on us for the OpenCL kernel's wall-clock-seeded sin-hash,
 tracer.cl:314).
 """
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -286,6 +288,96 @@ def test_tile_pixel_layout_spp_pack():
         px4, _, _ = tile_pixel_layout(W, H, S, L, order="block",
                                       spp_pack=pack, shard_granule=4)
         assert px4.shape[0] % (S * 4) == 0
+
+
+def test_tile_pixel_layout_chunk_pack():
+    """Sample-in-lane-chunks packing (pack_axis='chunk'): replica lane
+    groups within a tile are identical pixel blocks, every pixel appears
+    exactly `pack` times, untile_image sums the replicas, and the
+    replica width is 128-lane aligned (the gated walk's chunk size)."""
+    from pathtracer_tpu.render.pallas_kernel import (clamp_pack,
+                                                     tile_pixel_layout,
+                                                     untile_image)
+
+    for (W, H, S, L, pack) in [(64, 48, 8, 256, 2), (33, 25, 8, 512, 4),
+                               (1280, 960, 8, 512, 4)]:
+        assert clamp_pack(pack, S, L, "chunk") == pack
+        px, py, pid = tile_pixel_layout(W, H, S, L, order="block",
+                                        spp_pack=pack, pack_axis="chunk")
+        rows = px.shape[0]
+        assert rows % S == 0 and px.shape[1] == L
+        cw = L // pack
+        assert cw % 128 == 0
+        # replica lane groups are identical pixel blocks
+        t = px.reshape(rows, pack, cw)
+        for c in range(1, pack):
+            np.testing.assert_array_equal(t[:, c], t[:, 0])
+        valid = pid >= 0
+        counts = np.bincount(pid[valid], minlength=W * H)
+        assert counts.min() == pack and counts.max() == pack
+        flat = np.ones((pid.shape[0], 1), np.float32)
+        img = untile_image(flat, pid, W, H)
+        np.testing.assert_array_equal(img[:, 0], np.full(W * H, pack))
+        # sharded variant: whole tiles per shard
+        px4, _, _ = tile_pixel_layout(W, H, S, L, order="block",
+                                      spp_pack=pack, pack_axis="chunk",
+                                      shard_granule=4)
+        assert px4.shape[0] % (S * 4) == 0
+    # capacity clamping: pack that would leave sub-128-lane replicas
+    assert clamp_pack(8, 8, 512, "chunk") == 4
+    assert clamp_pack(8, 8, 1024, "chunk") == 8
+    assert clamp_pack(8, 8, 128, "chunk") == 1
+
+
+def test_megakernel_chunk_pack_same_estimator(small_cfg, monkeypatch):
+    """Chunk-packed launches (pack_axis='chunk') are the same estimator
+    as row-packed ones — image means agree to MC noise (coherence off:
+    replica-shared draws make the IMAGE-MEAN estimate far noisier at
+    tiny sizes, see _coherent_sampling) — and the scratch-gated walk
+    (PT_SUBPACKET=2) is bit-identical to the monolithic walk on the
+    same chunk-packed layout (jax.clear_caches() between env flips:
+    the knobs are read at trace time)."""
+    import jax.numpy as jnp
+    from pathtracer_tpu.render import pallas_kernel as pk
+    from pathtracer_tpu.scenes import get_scene
+
+    W, H, SPP = 64, 48, 16
+    cfg = small_cfg.replace(width=W, height=H, samples=SPP,
+                            samples_per_pass=SPP)
+    sc = get_scene("default", cfg)
+    arrays, meta = sc.pack()
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
+    S, L = 8, 256
+
+    def render(pack, axis):
+        jax.clear_caches()
+        xs, ys, pid = pk.tile_pixel_layout(W, H, S, L, order="block",
+                                           spp_pack=pack, pack_axis=axis)
+        r, g, b = pk.trace_tiles(
+            jnp.asarray([7, 0], jnp.int32), cam_vec, obj, nodes, tris,
+            jnp.asarray(xs), jnp.asarray(ys), meta=meta, cfg=cfg,
+            spp=SPP, total_samples=SPP, tile=(S, L), spp_pack=pack,
+            pack_axis=axis, interpret=True)
+        flat = np.stack([np.asarray(r).ravel(), np.asarray(g).ravel(),
+                         np.asarray(b).ravel()], -1)
+        return pk.untile_image(flat, pid, W, H) / SPP
+
+    monkeypatch.setenv("PT_COHERENT", "0")
+    img_row = render(2, "row")
+    img_chunk = render(2, "chunk")
+    assert abs(img_chunk.mean() - img_row.mean()) < 0.02
+    assert np.abs(img_chunk - img_row).mean() < 0.25   # per-pixel MC noise
+
+    # coherent chunk draws: gated walk bit-equal to the monolithic walk
+    monkeypatch.setenv("PT_COHERENT", "1")
+    img_mono = render(2, "chunk")
+    monkeypatch.setenv("PT_SUBPACKET", "2")
+    img_gated = render(2, "chunk")
+    np.testing.assert_array_equal(img_gated, img_mono)
+    # coherent chunk mode stays the same estimator (loose: image-mean
+    # variance is inflated by the replica-wide draw sharing)
+    assert abs(img_mono.mean() - img_row.mean()) < 0.06
 
 
 def test_megakernel_spp_pack_same_estimator(small_cfg):

@@ -32,6 +32,8 @@ TILES = [tuple(int(x) for x in t.split("x"))
 ORDERS = os.environ.get("SWEEP_ORDERS", "block").split(",")
 # sample-in-rows packing factors (1 = unpacked round-2 layout)
 PACKS = [int(v) for v in os.environ.get("SWEEP_PACK", "1").split(",")]
+# packing axis: row (round 3) / chunk (round 4, aligns with PT_SUBPACKET=2)
+PACK_AXIS = os.environ.get("SWEEP_PACK_AXIS", "row")
 
 for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
     for leaf in LEAVES:
@@ -44,12 +46,13 @@ for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
         obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
         for (S, L) in TILES:
           for pack in PACKS:
-            if SPP % pack or S % pack:
+            if SPP % pack or pk.clamp_pack(pack, S, L, PACK_AXIS) != pack:
                 continue
             for order in ORDERS:
                 xs, ys, _pid = pk.tile_pixel_layout(W, H, S, L,
                                                     order=order,
-                                                    spp_pack=pack)
+                                                    spp_pack=pack,
+                                                    pack_axis=PACK_AXIS)
                 px = jnp.asarray(xs)
                 py = jnp.asarray(ys)
 
@@ -58,7 +61,7 @@ for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
                         jnp.asarray([seed, 0], jnp.int32), cam_vec, obj,
                         nodes, tris, px, py, meta=meta, cfg=cfg, spp=SPP,
                         total_samples=cfg.samples, tile=(S, L),
-                        spp_pack=pack)
+                        spp_pack=pack, pack_axis=PACK_AXIS)
                     return float(r.mean())
 
                 t0 = time.time()
@@ -74,7 +77,7 @@ for scene_name in (sys.argv[1:] or ["teapot", "gopher"]):
                 # each — samples per launch is unchanged
                 ms = W * H * SPP / best / 1e6
                 print(f"{scene_name} leaf={leaf:3d} tile=({S:3d},{L:4d}) "
-                      f"{order:6s} pack={pack} nodes={nn:5d} "
+                      f"{order:6s} pack={pack}/{PACK_AXIS} nodes={nn:5d} "
                       f"compile={t_compile:6.1f}s "
                       f"steady={best:6.2f}s {ms:7.2f} Ms/s "
                       f"mean={m * pack / SPP:.5f}", flush=True)

@@ -209,6 +209,48 @@ def check_staged() -> bool:
         return False
 
 
+def check_chunk_gated(scene: str) -> bool:
+    """Lower the chunk-packed + scratch-gated mesh config (round 4:
+    pack_axis='chunk' aligns coherent pencils with PT_SUBPACKET=2's
+    leaf-gating chunks; see pallas_kernel.default_pack_axis)."""
+    os.environ["PT_SUBPACKET"] = "2"
+    try:
+        cfg = RenderConfig(width=64, height=48, samples=8,
+                           samples_per_pass=8)
+        sc = get_scene(scene, cfg)
+        arrays, meta = sc.pack()
+        S, L = 8, 512
+        pack = 4
+        xs, ys, _pid = pk.tile_pixel_layout(
+            cfg.width, cfg.height, S, L, order="block",
+            spp_pack=pack, pack_axis="chunk")
+        obj, nodes, tris = pk.scene_tables_jnp(arrays, meta)
+        cam = jnp.asarray(pk.build_camera_vec(sc.camera))
+
+        def fn(seed, cam, obj, nodes, tris, px, py):
+            r, g, b = pk.trace_tiles(seed, cam, obj, nodes, tris, px, py,
+                                     meta=meta, cfg=cfg, spp=8,
+                                     total_samples=cfg.samples,
+                                     tile=(S, L), spp_pack=pack,
+                                     pack_axis="chunk")
+            return r + g + b
+
+        args = (jnp.asarray([0, 0], jnp.int32), cam, obj, nodes, tris,
+                jnp.asarray(xs), jnp.asarray(ys))
+        try:
+            exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+            print(f"[{scene}] chunk-packed gated megakernel TPU lowering "
+                  f"OK ({len(exp.mlir_module())} bytes)")
+            return True
+        except Exception as e:  # noqa: BLE001 — report and continue
+            msg = str(e).splitlines()[0][:300]
+            print(f"[{scene}] chunk-packed gated megakernel TPU lowering "
+                  f"FAILED: {type(e).__name__}: {msg}")
+            return False
+    finally:
+        os.environ.pop("PT_SUBPACKET", None)
+
+
 if __name__ == "__main__":
     scenes = sys.argv[1:] or ["reference", "teapot", "gopher"]
     ok = all([check(s) for s in scenes])
@@ -218,4 +260,5 @@ if __name__ == "__main__":
         ok &= check_grad("reference", tri=False, spp=8)
         ok &= check_grad("teapot", tri=True, spp=4)
         ok &= check_staged()
+        ok &= check_chunk_gated("teapot")
     sys.exit(0 if ok else 1)
