@@ -1864,6 +1864,31 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 
         def traverse_packet(root, end, tox, toy, toz, tdx, tdy, tdz,
                             active, bt0):
+            # PT_SUBPACKET=3: fully INDEPENDENT per-chunk walks — each
+            # 128-lane chunk runs its own while_loop with its own
+            # majority-octant DFS copy and its own best-t pruning, so a
+            # chunk pays neither slab tests nor leaf bodies for nodes
+            # only other chunks need, and (with chunk-coherent packing)
+            # each walk is one pencil in ITS front-to-back order. Costs
+            # nc sequential scalar node streams; pays off only when the
+            # chunk unions are mostly disjoint (chunk packing).
+            if (os.environ.get("PT_SUBPACKET", "") == "3"
+                    and traversal_mode(meta) != "mxu"
+                    and tox.shape[-1] > 128 and tox.shape[-1] % 128 == 0):
+                outs = []
+                for j in range(tox.shape[-1] // 128):
+                    sl = slice(j * 128, (j + 1) * 128)
+                    cargs = [a[:, sl] for a in (tox, toy, toz,
+                                                tdx, tdy, tdz, active, bt0)]
+                    ob = _group_octant_base(meta, cargs[6], cargs[3],
+                                            cargs[4], cargs[5])
+                    outs.append(_packet_traverse(
+                        node_ref, tri_ref, leaf_rows, eps, t_max,
+                        root, end, *cargs, oct_base=ob,
+                        uniform_color=meta.tri_uniform_color))
+                return tuple(
+                    jnp.concatenate([o[k] for o in outs], axis=1)
+                    for k in range(len(outs[0])))
             oct_base = _group_octant_base(meta, active, tdx, tdy, tdz)
             if traversal_mode(meta) == "mxu":
                 return _packet_traverse_mxu(

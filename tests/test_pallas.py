@@ -375,6 +375,12 @@ def test_megakernel_chunk_pack_same_estimator(small_cfg, monkeypatch):
     monkeypatch.setenv("PT_SUBPACKET", "2")
     img_gated = render(2, "chunk")
     np.testing.assert_array_equal(img_gated, img_mono)
+    # per-chunk independent walks (PT_SUBPACKET=3): same closest hits
+    # (only exact-t ties could differ between octant visit orders)
+    monkeypatch.setenv("PT_SUBPACKET", "3")
+    img_pc = render(2, "chunk")
+    np.testing.assert_allclose(img_pc, img_mono, atol=1e-6)
+    monkeypatch.delenv("PT_SUBPACKET")
     # coherent chunk mode stays the same estimator (loose: image-mean
     # variance is inflated by the replica-wide draw sharing)
     assert abs(img_mono.mean() - img_row.mean()) < 0.06
