@@ -2158,10 +2158,17 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 # _uniform_chunk for why the unit must follow the axis
                 if not _coherent_sampling():
                     _udraw = _uniform
-                elif pack_axis == "chunk" and spp_pack > 1:
-                    _cw = tile[1] // spp_pack
+                elif pack_axis == "chunk" and tile[1] >= 128:
+                    # fixed 128-lane granule: always vreg/gating-chunk
+                    # aligned; never correlates two samples of a pixel
+                    # (replica groups are whole multiples of 128 lanes,
+                    # so one chunk never spans two replicas). With
+                    # spp_pack=1 this pairs with the `subblock` order:
+                    # every chunk is then a DIFFERENT compact pixel
+                    # block with its own pencil — disjoint by origin
+                    # and direction.
                     _udraw = (lambda shape, did=0, n=None, b=None:
-                              _uniform_chunk(shape, _cw, did, n, b))
+                              _uniform_chunk(shape, 128, did, n, b))
                 else:
                     _udraw = _uniform_row
                 u_refl = _udraw(shape, 2, n, b)
