@@ -161,6 +161,20 @@ def main(argv=None) -> int:
     from .io.raw import write_raw
     from .scenes import get_scene
 
+    # fail fast on an unwritable --output BEFORE burning a render: a
+    # directory path (or an extension PIL can't map to a format) would
+    # otherwise crash in write_png after the full render completed
+    if args.output:
+        if os.path.isdir(args.output) or args.output.endswith(os.sep):
+            print(f"error: --output {args.output!r} is a directory; "
+                  "pass a .png file path", file=sys.stderr)
+            return 2
+        ext = os.path.splitext(args.output)[1].lower()
+        if ext not in (".png", ".jpg", ".jpeg", ".bmp", ".tiff", ".tif"):
+            print(f"error: --output {args.output!r} has unsupported "
+                  f"extension {ext or '(none)'}; use .png", file=sys.stderr)
+            return 2
+
     cfg = RenderConfig(
         width=args.width, height=args.height, samples=args.samples,
         aperture=args.aperture, focal_length=args.focal_length,

@@ -5,9 +5,12 @@ XLA gathers and HBM residuals per bounce — ~50x slower than the forward
 megakernel. This module gives the megakernel a hand-written backward pass
 for the parameters that matter for inverse rendering: object color and
 emission (make_diff_render), plus per-triangle mesh colors via a
-per-bounce HBM tape + XLA segment-sum (make_diff_render_tri). Texture
-texels remain wavefront-AD-only (textured scenes don't ride the
-megakernel at all — docs/PERFORMANCE.md "architecture boundary"):
+per-bounce HBM tape + XLA segment-sum (make_diff_render_tri). Textured
+scenes DO ride the megakernel for FORWARD rendering (computed
+procedural texels since round 2c, VMEM-staged small file textures since
+round 4 — docs/PERFORMANCE.md "Textured scenes"); this module's
+backward pass covers untextured scenes plus (round 5) staged/procedural
+TEXEL color gradients via make_diff_render_tex:
 
 - The estimator per sample is S = sum_b contrib_b * m_b * e_b with
   m_{b+1} = m_b * c_b * cos_b on recorded diffuse bounces and a direct
