@@ -241,6 +241,19 @@ def _build_texel_pool(kind_images):
 _STAGE_HB = 128  # sublane rows per staged-atlas lane window
 
 
+def _mip2(im: np.ndarray) -> np.ndarray:
+    """One box-filtered mip level: 2x2 average, odd tail row/col folded
+    by edge-replication (matches REPEAT addressing at the seam closely
+    enough for a mip — the reference has no mips at all, its sampler
+    reads level 0 only, tracer.cl:829)."""
+    if im.shape[0] % 2:
+        im = np.concatenate([im, im[-1:]], axis=0)
+    if im.shape[1] % 2:
+        im = np.concatenate([im, im[:, -1:]], axis=1)
+    h2, w2 = im.shape[0] // 2, im.shape[1] // 2
+    return im.reshape(h2, 2, w2, 2, *im.shape[2:]).mean(axis=(1, 3))
+
+
 def _stage_file_textures(obj_tex, obj_tex_nm, tex_ims, nm_ims):
     """VMEM-stage small FILE-BACKED textures so the megakernel can sample
     them in-kernel (the reference samples arbitrary image2d_array_t
@@ -258,38 +271,60 @@ def _stage_file_textures(obj_tex, obj_tex_nm, tex_ims, nm_ims):
     wavefront path pays; tools/tex_vmem_probe.py). Staging is therefore
     capped: per-image area <= PT_TEX_STAGE_AREA (default 256*256) and
     total atlas <= PT_TEX_STAGE_LANES lanes (default 4096 = 2 MB f32 of
-    VMEM). Any file texture left unstaged keeps desc None, which routes
-    the whole scene to the wavefront gather path
-    (pallas_kernel.textures_computable). PT_TEX_STAGE=0 disables.
+    VMEM). Round 5: images OVER the area cap are box-filtered down a
+    mip chain to PT_TEX_MIP_AREA (default 128*128 — the fetch is
+    O(area)/texel, so the mip target sets the rate) and the mip is
+    staged instead — arbitrary-size file textures now ride the
+    megakernel at a quantified resolution cost (docs/PERFORMANCE.md;
+    PT_TEX_MIP=0 restores skip-too-big). Any file texture still
+    unstaged keeps desc None, which routes the whole scene to the
+    wavefront gather path (pallas_kernel.textures_computable).
+    PT_TEX_STAGE=0 disables.
     """
     if os.environ.get("PT_TEX_STAGE", "1") == "0":
         return obj_tex, obj_tex_nm, None
     max_area = int(os.environ.get("PT_TEX_STAGE_AREA", str(256 * 256)))
     max_lanes = int(os.environ.get("PT_TEX_STAGE_LANES", "4096"))
+    # round 5: images too large to stage at level 0 are box-filtered
+    # down a mip chain to PT_TEX_MIP_AREA (the one-hot fetch cost is
+    # O(staged area)/texel, so a smaller mip target buys rate); the
+    # largest level fitting every cap is staged. PT_TEX_MIP=0 restores
+    # the round-4 skip-too-big behavior (over-cap images -> wavefront).
+    mip_enabled = os.environ.get("PT_TEX_MIP", "1") != "0"
+    mip_area = int(os.environ.get("PT_TEX_MIP_AREA", str(128 * 128)))
     # unique file-backed images, in first-use order
     blocks = {}
     order = []
     for entries, ims in ((obj_tex, tex_ims), (obj_tex_nm, nm_ims)):
         for (slot, desc, w, h, sx, sy), im in zip(entries, ims):
             if desc is None and im is not None and id(im) not in blocks:
-                blocks[id(im)] = im
+                blocks[id(im)] = np.asarray(im, np.float64)
                 order.append(id(im))
     base = {}
+    staged = {}
     off = 0
     for key in order:
         im = blocks[key]
+        if im.shape[0] * im.shape[1] > max_area and mip_enabled:
+            # mip the whole chain down to the (smaller) mip target:
+            # over-cap source images pay a resolution loss anyway, so
+            # take the cheaper fetch too
+            while (im.shape[0] * im.shape[1] > mip_area
+                   and im.shape[0] > 1 and im.shape[1] > 1):
+                im = _mip2(im)
         h, w = int(im.shape[0]), int(im.shape[1])
         hb = -(-h // _STAGE_HB)
         if h * w > max_area or off + hb * 3 * w > max_lanes:
             continue
         base[key] = off
+        staged[key] = im
         off += hb * 3 * w
     if not base:
         return obj_tex, obj_tex_nm, None
     ltot = max(128, -(-off // 128) * 128)
     atlas = np.zeros((_STAGE_HB, ltot), np.float32)
     for key, b in base.items():
-        im = blocks[key]
+        im = staged[key]
         h, w = int(im.shape[0]), int(im.shape[1])
         q = np.clip(np.round(np.asarray(im[..., :3], np.float64) * 255.0),
                     0, 255).astype(np.float32) / np.float32(255.0)
@@ -309,8 +344,9 @@ def _stage_file_textures(obj_tex, obj_tex_nm, tex_ims, nm_ims):
         out = []
         for (slot, desc, w, h, sx, sy), im in zip(entries, ims):
             if desc is None and im is not None and id(im) in base:
+                st = staged[id(im)]  # possibly a mip of `im`
                 desc = ("__staged__", base[id(im)],
-                        int(im.shape[1]), int(im.shape[0]))
+                        int(st.shape[1]), int(st.shape[0]))
             out.append((slot, desc, w, h, sx, sy))
         return out
 

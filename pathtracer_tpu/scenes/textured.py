@@ -198,3 +198,19 @@ def textured_planets_file_scene(cfg: RenderConfig) -> Scene:
         mk(("jupiter", (31,)), 128, 256),
     ]
     return sc
+
+
+@register("envmap-file")
+def envmap_file_scene(cfg: RenderConfig) -> Scene:
+    """`envmap` with its 1024x2048 sky as a plain FILE-BACKED image (no
+    proctex descriptor). Round 5: the image is over the staging area
+    cap, so pack mip-stages it (pack._mip2 chain down to
+    PT_TEX_MIP_AREA) and the megakernel samples the mip in-kernel —
+    the arbitrary-size image2d_array_t capability (tracer.cl:829) at a
+    quantified resolution cost (docs/PERFORMANCE.md). Extension scene —
+    not one of the reference's 15 (cmd/pt/main.go:27-43)."""
+    import numpy as np
+
+    sc = envmap_scene(cfg)
+    sc.sphere_textures = [np.asarray(t).copy() for t in sc.sphere_textures]
+    return sc

@@ -750,3 +750,61 @@ def test_staged_wavefront_uses_pool_gathers():
     assert np.isfinite(img_w).all()
     assert abs(img_p.mean() - img_w.mean()) < 0.04
     assert np.abs(img_p - img_w).mean() < 0.2
+
+
+def test_megakernel_mip_staged_large_texture(monkeypatch):
+    """Round 5: file textures OVER the staging area cap are box-filtered
+    down a mip chain (pack._mip2) and the mip is staged, so
+    arbitrary-size file images ride the megakernel (the reference
+    samples any image2d_array_t in its hot loop, tracer.cl:829).
+    Checkers are resolution-independent away from square edges, so a
+    512x512 checker staged at its 128x128 mip must closely match the
+    full-res computed-texel render (identical PRNG streams)."""
+    from pathtracer_tpu.render import proctex
+    from pathtracer_tpu.render.pallas_kernel import staged_lanes
+
+    cfg = RenderConfig(width=32, height=24, samples=8, samples_per_pass=8)
+    tex, sph = _checker_texture_lists()
+    big = proctex.make(
+        ("checker", (8, (0.9, 0.9, 0.9), (0.2, 0.2, 0.2))), 512, 512)
+    tex[0] = big
+
+    sc_p = get_scene("textures", cfg)
+    _strip_normal_maps(sc_p)
+    sc_p.textures = list(tex)
+    sc_p.sphere_textures = list(sph)
+    arr_p, meta_p = sc_p.pack()
+    assert staged_lanes(meta_p) == 0 and supports_scene(meta_p)
+
+    sc_f = get_scene("textures", cfg)
+    _strip_normal_maps(sc_f)
+    sc_f.textures = [np.asarray(t).copy() for t in tex]
+    sc_f.sphere_textures = [np.asarray(t).copy() for t in sph]
+    arr_f, meta_f = sc_f.pack()
+    # the 512x512 file image must be staged at its 128x128 mip
+    assert staged_lanes(meta_f) > 0 and supports_scene(meta_f)
+    descs = [d for (_s, d, *_r) in meta_f.obj_tex
+             if isinstance(d, tuple) and d and d[0] == "__staged__"]
+    assert any(d[2] == 128 and d[3] == 128 for d in descs), descs
+
+    img_p = render_pallas(arr_p, meta_p, sc_p.camera, cfg, interpret=True,
+                          tile=(8, 256))
+    img_f = render_pallas(arr_f, meta_f, sc_f.camera, cfg, interpret=True,
+                          tile=(8, 256))
+    d = np.abs(img_p - img_f)
+    # not exact (mip boundary texels differ) but close: color texels
+    # scale radiance linearly, no chaotic amplification
+    assert d.mean() < 0.03, (d.max(), d.mean())
+
+    # PT_TEX_MIP=0 restores round-4 behavior: over-cap image unstaged ->
+    # whole scene routes to the wavefront path
+    monkeypatch.setenv("PT_TEX_MIP", "0")
+    sc_0 = get_scene("textures", cfg)
+    _strip_normal_maps(sc_0)
+    sc_0.textures = [np.asarray(t).copy() for t in tex]
+    sc_0.sphere_textures = [np.asarray(t).copy() for t in sph]
+    _arr_0, meta_0 = sc_0.pack()
+    # the over-cap image keeps desc None (unstaged) -> megakernel
+    # can't ride; small textures may still stage
+    assert any(d is None for (_s, d, *_r) in meta_0.obj_tex)
+    assert not supports_scene(meta_0)
