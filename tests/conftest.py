@@ -55,6 +55,7 @@ _SLOW_TESTS = {
     "test_driver_with_mesh_recovers_from_fault",
     "test_two_process_cluster_matches_single_process",
     # interpret-mode megakernel parity
+    "test_coherent_variance_parity",
     "test_megakernel_mip_staged_large_texture",
     "test_textured_megakernel_matches_wavefront[textures-32-0.04]",
     "test_textured_megakernel_matches_wavefront[cubemap-16-0.04]",

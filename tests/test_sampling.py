@@ -80,3 +80,33 @@ def test_sunflower_within_disc():
     assert (r <= 1.0 + 1e-5).all()
     # boundary points land on the rim
     assert np.isclose(r[-1], 1.0, atol=1e-5)
+
+
+def test_coherent_variance_parity(monkeypatch):
+    """Round-5 gate on the coherent-sampling claim (the mesh-scene
+    headline rests on it, docs/PERFORMANCE.md round 4): replica-shared
+    uniforms must leave PER-PIXEL variance unchanged — a replica-mapping
+    bug that correlates two samples of one pixel would inflate it by up
+    to spp_pack x while every mean-level test stays green. K independent
+    seeds per mode, per-pixel empirical variance across seeds, ratio
+    coherent/incoherent ~= 1 for both production packing modes.
+    Full matrix + precision: tools/variance_check.py."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    from tools.variance_check import render_matrix
+
+    K = 16
+    mats = render_matrix(scene="default", width=24, height=16, spp=8,
+                         seeds=K, configs=[("row", 8), ("chunk", 8)])
+    for axis, pack in [("row", 8), ("chunk", 8)]:
+        c = mats[(axis, pack, 1)]
+        i = mats[(axis, pack, 0)]
+        ratio = c.var(0, ddof=1).mean() / i.var(0, ddof=1).mean()
+        # a gross mapping bug (all replicas shared) inflates ~8x, a
+        # single crossed replica pair ~1.25x; K=16 seeds x 16 pixel
+        # rows puts the null within ~+-0.35 of 1.0 at 6 sigma
+        assert 0.6 < ratio < 1.45, (axis, pack, ratio)
+        # and unbiasedness at matched spp
+        assert np.abs(c.mean(0) - i.mean(0)).mean() < 0.2, (axis, pack)
