@@ -94,32 +94,58 @@ def bench_diff(cfg, sc, arrays, meta, spp):
 
     from pathtracer_tpu.render import pallas_kernel as pk
 
+    staged_ok = (
+        # round 5: staged-textured scenes train texels through the
+        # fused tex grad kernel (pallas_grad.make_diff_render_tex)
+        bool(meta.textured_types)
+        and pk.staged_lanes(meta) > 0
+        and not meta.has_normal_maps
+    )
     use_mk = (
         os.environ.get("BENCH_DIFF_BACKEND", "auto") != "wavefront"
         and jax.devices()[0].platform == "tpu"
         and pk.supports_scene(meta)
-        # the diff megakernel differentiates object color/emission only;
-        # textured scenes train through the wavefront AD path
-        and not meta.textured_types and not meta.has_normal_maps
+        and ((not meta.textured_types and not meta.has_normal_maps)
+             or staged_ok)
     )
     if use_mk:
-        return bench_diff_megakernel(cfg, sc, arrays, meta, spp)
+        return bench_diff_megakernel(cfg, sc, arrays, meta, spp,
+                                     tex=staged_ok)
     return bench_diff_wavefront(cfg, sc, arrays, meta, spp)
 
 
-def bench_diff_megakernel(cfg, sc, arrays, meta, spp):
+def bench_diff_megakernel(cfg, sc, arrays, meta, spp, tex=False):
     import jax.numpy as jnp
     import numpy as np
 
-    from pathtracer_tpu.diff.grad import make_megakernel_step
+    from pathtracer_tpu.diff.grad import (make_megakernel_step,
+                                          make_megakernel_step_tex)
 
     W, H = cfg.width, cfg.height
     step_spp = max(1, min(spp, 32))
+    target = None
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    if tex:
+        step, target_of = make_megakernel_step_tex(
+            arrays, meta, cfg, sc.camera, spp=step_spp)
+        target = target_of(np.zeros((H, W, 3), np.float32))
+        atlas = arrays.tex_staged.astype(jnp.float32)
+        c, e, a, loss = step(color, emission, atlas,
+                             jnp.asarray([1, 0], jnp.int32), target)
+        float(loss)  # true materialization (async tunnel compile)
+        n = 3
+        t0 = time.perf_counter()
+        for i in range(n):
+            c, e, a, loss = step(c, e, a,
+                                 jnp.asarray([i + 2, 0], jnp.int32),
+                                 target)
+        float(loss)
+        return W * H * step_spp * n, time.perf_counter() - t0
+
     step, target_of = make_megakernel_step(
         arrays, meta, cfg, sc.camera, spp=step_spp)
     target = target_of(np.zeros((H, W, 3), np.float32))
-    color = arrays.color.astype(jnp.float32)
-    emission = arrays.emission.astype(jnp.float32)
 
     c, e, loss = step(color, emission, jnp.asarray([1, 0], jnp.int32),
                       target)
@@ -268,8 +294,14 @@ def _extra_records(width, height):
                            # fetch (pack._stage_file_textures)
                            ("textures-file", bench_pallas, 32),
                            ("cubemap", bench_pallas, 8),
-                           ("reference", bench_diff, 32)):
-        tag = ("fwd_bwd_reference" if fn is bench_diff
+                           # round 5: mip-staged large file sky texture
+                           ("envmap-file", bench_pallas, 32),
+                           ("reference", bench_diff, 32),
+                           # round 5: texel gradients on the fast path
+                           # (textures-file minus normal maps — the
+                           # texture-recovery training configuration)
+                           ("textures-train", bench_diff, 32)):
+        tag = (f"fwd_bwd_{scene}" if fn is bench_diff
                else f"fwd_{scene}")
         if time.time() - t_start > budget_s:
             out[tag] = {"skipped": "extras time budget exhausted"}

@@ -176,6 +176,59 @@ def make_megakernel_step(scn, meta, cfg, camera, spp, tile=(8, 512),
     return step, target_of
 
 
+def make_megakernel_step_tex(scn, meta, cfg, camera, spp, tile=(8, 512),
+                             lr=0.05, interpret=False):
+    """SGD step on (color, emission, STAGED TEXTURE ATLAS) through the
+    differentiable megakernel's tex mode (pallas_grad.
+    make_diff_render_tex): texel gradients accumulate on-core via the
+    transposed one-hot fetch — no HBM tape, no gathers (round 5;
+    previously texture texels trained only through the wavefront AD
+    path at ~25x lower throughput).
+
+    Returns (step, target_of): step(color, emission, tex [128, Ltot],
+    seed_i32 [2], target_rgb) -> (new_color, new_emission, new_tex,
+    loss), jitted. tex is SceneArrays.tex_staged; padded lanes get
+    exactly-zero gradients (no ray samples them)."""
+    from ..render import pallas_kernel as pk
+    from ..render.pallas_grad import make_diff_render_tex
+
+    W, H = camera.width, camera.height
+    S, L = tile
+    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
+                                       order=pk.default_order(meta))
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(camera))
+    obj, nodes, tris = pk.scene_tables_jnp(scn, meta, traversal="classic")
+    render = make_diff_render_tex(meta, cfg, spp, cfg.samples, tile,
+                                  interpret=interpret)
+    valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
+    n_valid = float(valid.sum())
+    inv_spp = 1.0 / float(spp)
+
+    target_of = _make_target_of(pid, px.shape)
+
+    def loss_fn(color, emission, tex, seed, tr, tg, tb):
+        r, g, b = render(color, emission, tex, seed, cam_vec, obj,
+                         nodes, tris, px, py)
+        dr = (r * inv_spp - tr) * valid
+        dg = (g * inv_spp - tg) * valid
+        db = (b * inv_spp - tb) * valid
+        return (jnp.sum(dr * dr) + jnp.sum(dg * dg)
+                + jnp.sum(db * db)) / (3.0 * n_valid)
+
+    @jax.jit
+    def step(color, emission, tex, seed, target):
+        tr, tg, tb = target
+        (loss, grads) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            color, emission, tex, seed, tr, tg, tb)
+        gc, ge, gt = grads
+        return (color - lr * gc, emission - lr * ge, tex - lr * gt,
+                loss)
+
+    return step, target_of
+
+
 def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=2,
                              tile=(8, 512), lr=0.05, interpret=False,
                              spp=4):

@@ -62,9 +62,89 @@ from .pallas_kernel import (_BIG, _axis_slab, _box_t, _cylinder_t, _dot,
                             _coherent_sampling, _uniform, _uniform_row)
 
 
+def _scatter_staged(tex_out, desc, u, v, g_r, g_g, g_b):
+    """Transpose of pk._sample_staged: accumulate per-texel gradients
+    into the [1, 128, Ltot] output-block atlas accumulator.
+
+    Forward fetch (per sublane row s): c_c(l) = sum_{h,x} M[h,l] N[l,x]
+    win[h, c*cw+x] with M the bilinear y one-hot and N the bilinear x
+    one-hot. Therefore dS/dwin[h, c*cw+x] = sum_l M[h,l] g_c(l) N[l,x],
+    i.e. per color ONE [128,L]x[L,cw] matmul of (M .* g-broadcast) with
+    N — the same one-hot algebra as the fetch, transposed, so the
+    backward texel scatter costs ~3x the forward fetch. Textures taller
+    than 128 rows mirror the forward's two-tap window path (one matmul
+    per row tap). g_* must already be masked to lanes whose winning
+    object samples this texture."""
+    _, base, w, h = desc
+    hb = -(-h // 128)
+    cw = hb * w                  # one color plane's lane width
+    fx = u * jnp.float32(w) - 0.5
+    fy = v * jnp.float32(h) - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = pk._wrap_tex(x0, w).astype(jnp.int32)
+    x1i = pk._wrap_tex(x0 + 1.0, w).astype(jnp.int32)
+    y0i = pk._wrap_tex(y0, h).astype(jnp.int32)
+    y1i = pk._wrap_tex(y0 + 1.0, h).astype(jnp.int32)
+    S, L = u.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L, cw), 1)
+    rowoh = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+
+    def row(s, acc):
+        def take(a):             # [S, L] -> [L] (row s, masked reduce)
+            return jnp.sum(jnp.where(rowoh == s, a,
+                                     jnp.zeros_like(a)), axis=0)
+
+        def bc_row(a):           # [S, L] -> [128, L]
+            return jax.lax.broadcast_in_dim(take(a), (128, L), (1,))
+
+        def bc_lane(a):          # [S, L] -> [L, cw]
+            return jax.lax.broadcast_in_dim(take(a), (L, cw), (0,))
+
+        txl = bc_lane(tx)
+        if hb == 1:
+            # y-blend folded into one matmul (forward's hb==1 branch)
+            m = ((col == bc_row(y0i)).astype(jnp.float32)
+                 * bc_row(1.0 - ty)
+                 + (col == bc_row(y1i)).astype(jnp.float32)
+                 * bc_row(ty))
+            n = ((lane == bc_lane(x0i)).astype(jnp.float32)
+                 * (1.0 - txl)
+                 + (lane == bc_lane(x1i)).astype(jnp.float32) * txl)
+            return tuple(
+                a + jax.lax.dot_general(
+                    m * bc_row(g), n, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for a, g in zip(acc, (g_r, g_g, g_b)))
+        # two row taps, each with its own window-offset lane mask
+        out = list(acc)
+        for yi, wy in ((y0i, 1.0 - ty), (y1i, ty)):
+            k = yi // 128                                # window index
+            m = (col == bc_row(yi - 128 * k)).astype(jnp.float32)
+            kl = bc_lane(k) * w
+            n = ((lane == (kl + bc_lane(x0i))).astype(jnp.float32)
+                 * (1.0 - txl)
+                 + (lane == (kl + bc_lane(x1i))).astype(jnp.float32)
+                 * txl)
+            out = [
+                a + jax.lax.dot_general(
+                    m * bc_row(wy * g), n, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for a, g in zip(out, (g_r, g_g, g_b))]
+        return tuple(out)
+
+    z = jnp.zeros((128, cw), jnp.float32)
+    gr, gg, gb = jax.lax.fori_loop(0, S, row, (z, z, z))
+    for c, g in enumerate((gr, gg, gb)):
+        tex_out[0, :, base + c * cw: base + (c + 1) * cw] += g
+
+
 def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                       total_samples: int, tile: Tuple[int, int],
-                      tri_grads: bool = False):
+                      tri_grads: bool = False, tex_grads: bool = False):
     """Forward-replay + tape + backward-accumulate kernel body.
 
     The forward section mirrors pallas_kernel._make_kernel's sample_body
@@ -91,16 +171,42 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
     sun_n = float(total_samples)
     sun_b = round(2.0 * math.sqrt(sun_n))
     n_obj = meta.n_objects
+    # tex_grads: forward-replay the megakernel's texture-color overwrite
+    # (staged one-hot fetch / computed proc texels), tape the winning
+    # UV per bounce, and scatter dS/dtexel into a per-tile atlas
+    # accumulator in the backward pass (see _scatter_staged)
+    tex_groups = (pk._tex_groups(meta.obj_tex, obj_types)
+                  if tex_grads and meta.obj_tex else [])
+    staged_groups = [g for g in tex_groups
+                     if isinstance(g[1], tuple) and g[1]
+                     and g[1][0] == "__staged__"]
+    # slots whose color is a texture: their OBJECT-color gradient is
+    # exactly zero (the texel overwrites it in the forward)
+    tex_slots = {s for (slots, *_r) in tex_groups for s in slots}
 
-    def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, px_ref,
-               py_ref, cot_r_ref, cot_g_ref, cot_b_ref, gout_ref,
-               *rest):
+    def kernel(seed_ref, cam_ref, obj_ref, node_ref, tri_ref, *args):
+        # arg order mirrors grad_tiles' specs: inputs
+        # [tex?] px py cot_r cot_g cot_b, outputs gout [tex_out?]
+        # [tslot tgrad?], scratch win cos c e m flags acc [wtri?] [u v?]
+        args = list(args)
+        tex_ref = args.pop(0) if tex_grads else None
+        (px_ref, py_ref, cot_r_ref, cot_g_ref, cot_b_ref,
+         gout_ref) = args[:6]
+        rest = args[6:]
+        tex_out = rest.pop(0) if tex_grads else None
+        tslot_out = tgrad_out = t_wtri = None
+        t_u = t_v = None
+        if tex_grads:
+            # scratch list ends with the (u, v) tapes
+            t_v = rest.pop()
+            t_u = rest.pop()
         if tri_grads:
             (tslot_out, tgrad_out, t_win, t_cos, t_c, t_e, t_m,
              t_flags, g_acc, t_wtri) = rest
         else:
             t_win, t_cos, t_c, t_e, t_m, t_flags, g_acc = rest
-            tslot_out = tgrad_out = t_wtri = None
+        if tex_grads:
+            tex_out[...] = jnp.zeros(tex_out.shape, jnp.float32)
         _prng_seed(seed_ref[0], pl.program_id(0))
         sample_base = seed_ref[1]
 
@@ -188,6 +294,12 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
             # stale tape flags from the previous sample must not leak
             # into the backward pass (the bounce loop can exit early)
             t_flags[...] = jnp.zeros((max_b,) + shape, jnp.float32)
+            if tex_grads:
+                # u/v at unreached bounces are uninitialized scratch
+                # (NaN in interpret mode); 0 * NaN would poison the
+                # one-hot weights even under a zero gradient mask
+                t_u[...] = jnp.zeros((max_b,) + shape, jnp.float32)
+                t_v[...] = jnp.zeros((max_b,) + shape, jnp.float32)
             if tri_grads:
                 # slots at bounces the loop never reaches must read -1
                 t_wtri[...] = jnp.full((max_b,) + shape, -1.0,
@@ -354,6 +466,35 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 nx = jnp.where(flip, -nx, nx)
                 ny = jnp.where(flip, -ny, ny)
                 nz = jnp.where(flip, -nz, nz)
+
+                # ---- texture color (forward-identical to _make_kernel's
+                # tex_groups loop — the replay contract) + UV tape: the
+                # backward pass recomputes the bilinear one-hot weights
+                # from (u, v) to scatter dS/dtexel ---------------------
+                if tex_groups:
+                    sel_u = jnp.zeros(shape, jnp.float32)
+                    sel_v = jnp.zeros(shape, jnp.float32)
+                    for (slots, desc, tw, th, sx, sy, tcode) \
+                            in tex_groups:
+                        msk = functools.reduce(
+                            jnp.logical_or,
+                            [win_f == float(s) for s in slots])
+                        if tcode == PLANE:
+                            tu = lx * sx
+                            tv = lz * sy
+                        elif tcode == SPHERE:
+                            tu, tv = pk._spherical_uv(lx, ly, lz)
+                        else:  # BOX (cube-cross)
+                            tu, tv = pk._cube_uv(lx, ly, lz)
+                        tcr, tcg, tcb = pk._sample_tex(
+                            tex_ref, desc, tw, th, tu, tv)
+                        col_r = jnp.where(msk, tcr, col_r)
+                        col_g = jnp.where(msk, tcg, col_g)
+                        col_b = jnp.where(msk, tcb, col_b)
+                        sel_u = jnp.where(msk, tu, sel_u)
+                        sel_v = jnp.where(msk, tv, sel_v)
+                    t_u[pl.ds(b, 1)] = sel_u[None]
+                    t_v[pl.ds(b, 1)] = sel_v[None]
 
                 # ---- material roulette (forward-identical: SAME draw
                 # ids AND the same coherent row-sharing mode as
@@ -567,12 +708,33 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                     tgrad_out[pl.ds(pb * 3 + 2, 1)] = jnp.where(
                         tri_upd, cot_b * cosb * mb * T_b, zero)[None]
 
+                # dS/dtexel: same per-bounce dS/dc as the object branch,
+                # scattered into the atlas by the taped UV's bilinear
+                # one-hot weights (staged textures only — proc texels
+                # are programs, not parameters; bake to a staged image
+                # to train them)
+                if tex_grads and staged_groups:
+                    u_bb = t_u[bb]
+                    v_bb = t_v[bb]
+                    for (slots, desc, *_r) in staged_groups:
+                        mt = functools.reduce(
+                            jnp.logical_or,
+                            [win == float(s) for s in slots]
+                        ).astype(jnp.float32)
+                        _scatter_staged(tex_out, desc, u_bb, v_bb,
+                                        g_cr * mt, g_cg * mt,
+                                        g_cb * mt)
+
                 for j in range(n_obj):
                     mobj = win == float(j)
                     base = j * 6
-                    g_acc[base + 0] += jnp.where(mobj, g_cr, zero)
-                    g_acc[base + 1] += jnp.where(mobj, g_cg, zero)
-                    g_acc[base + 2] += jnp.where(mobj, g_cb, zero)
+                    if j not in tex_slots:
+                        # textured objects: the texel overwrites the
+                        # object color in the forward, so their
+                        # OBJECT-color gradient is exactly zero
+                        g_acc[base + 0] += jnp.where(mobj, g_cr, zero)
+                        g_acc[base + 1] += jnp.where(mobj, g_cg, zero)
+                        g_acc[base + 2] += jnp.where(mobj, g_cb, zero)
                     g_acc[base + 3] += jnp.where(mobj, g_er, zero)
                     g_acc[base + 4] += jnp.where(mobj, g_eg, zero)
                     g_acc[base + 5] += jnp.where(mobj, g_eb, zero)
@@ -607,7 +769,7 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "cfg", "spp", "total_samples", "tile",
-                     "tri_grads", "interpret"),
+                     "tri_grads", "tex_grads", "interpret"),
 )
 def grad_tiles(
     seed: jnp.ndarray,          # i32 [2]: (prng seed, sample base)
@@ -626,17 +788,28 @@ def grad_tiles(
     total_samples: int = 1,
     tile: Tuple[int, int] = (8, 512),
     tri_grads: bool = False,
+    tex_grads: bool = False,
     interpret: bool = False,
+    tex: jnp.ndarray = None,    # [128, Ltot] staged atlas (tex_grads)
 ):
     """Backward pass of trace_tiles w.r.t. (color, emission). Returns
     (gcol [No, 3], gemi [No, 3]) summed over all tiles and samples;
     with `tri_grads` additionally gtri [n_slots, 3] — per-triangle
     color gradients, scatter-added here (jax.ops.segment_sum over the
-    kernel's per-bounce slot/value tape)."""
+    kernel's per-bounce slot/value tape); with `tex_grads` additionally
+    gtex [128, Ltot] — per-texel gradients of the staged atlas,
+    accumulated on-core (_scatter_staged) and tile-summed here."""
     S, L = tile
     n_tiles = px.shape[0] // S
     n_obj = meta.n_objects
     max_b = cfg.max_bounces
+    if tex_grads:
+        assert not tri_grads, \
+            "tex_grads and tri_grads are separate paths (combine by " \
+            "alternating steps if both parameter sets must train)"
+        assert tex is not None and pk.staged_lanes(meta) > 0, \
+            "tex_grads needs a staged-texture scene and its atlas"
+        ltot = tex.shape[1]
     if tri_grads:
         # the per-(sample, bounce) tape lives in the output VMEM block
         # while a tile is in flight: 4 planes (slot + rgb) x spp x max_b
@@ -648,7 +821,7 @@ def grad_tiles(
             f"tri tape block {tape_mb:.1f} MB exceeds the VMEM budget; "
             f"lower spp per launch (accumulate across calls)")
     kernel = _make_grad_kernel(meta, cfg, spp, total_samples, tile,
-                               tri_grads=tri_grads)
+                               tri_grads=tri_grads, tex_grads=tex_grads)
 
     bspec = pl.BlockSpec((S, L), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -657,6 +830,13 @@ def grad_tiles(
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32)]
+    if tex_grads:
+        # per-tile atlas-gradient accumulator block; XLA sums over tiles
+        out_specs.append(
+            pl.BlockSpec((1, 128, ltot), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles, 128, ltot), jnp.float32))
     if tri_grads:
         # 3-D plane-major tapes (mixed dynamic+static indexing on 4-D
         # refs is fragile in Mosaic): tile i owns plane rows
@@ -685,6 +865,9 @@ def grad_tiles(
     ]
     if tri_grads:
         scratch.append(pltpu.VMEM((max_b, S, L), jnp.float32))  # wtri
+    if tex_grads:
+        scratch.append(pltpu.VMEM((max_b, S, L), jnp.float32))  # u tape
+        scratch.append(pltpu.VMEM((max_b, S, L), jnp.float32))  # v tape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -693,6 +876,8 @@ def grad_tiles(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # objects
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tris
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)]  # staged atlas
+             if tex_grads else []) + [
             bspec, bspec,                            # px py
             bspec, bspec, bspec,                     # cotangents
         ],
@@ -704,19 +889,23 @@ def grad_tiles(
     prev = pk._SW_PRNG
     pk._SW_PRNG = bool(interpret)
     try:
+        args = (seed, cam_vec, obj_table, node_table, tri_table) + (
+            (tex,) if tex_grads else ()) + (px, py, cot_r, cot_g, cot_b)
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(seed, cam_vec, obj_table, node_table, tri_table, px, py,
-          cot_r, cot_g, cot_b)
+        )(*args)
     finally:
         pk._SW_PRNG = prev
     gt = outs[0]
     g = gt.sum(axis=0)                       # [8, 128]
     gcol = g[0:3, :n_obj].T                  # [No, 3]
     gemi = g[3:6, :n_obj].T
+    if tex_grads:
+        gtex = outs[1].sum(axis=0)           # [128, Ltot]
+        return gcol, gemi, gtex
     if not tri_grads:
         return gcol, gemi
 
@@ -895,6 +1084,80 @@ def make_diff_render_tri(meta: SceneMeta, cfg: RenderConfig,
             gemi.astype(emission.dtype))
         gt = gtri[:tri_color.shape[0]].astype(tri_color.dtype)
         return (gc, ge, gt, None, None, None, None, None, None, None)
+
+    render.defvjp(fwd, bwd)
+    return render
+
+
+@functools.lru_cache(maxsize=None)
+def make_diff_render_tex(meta: SceneMeta, cfg: RenderConfig, spp: int,
+                         total_samples: int, tile: Tuple[int, int],
+                         interpret: bool = False):
+    """custom_vjp megakernel render differentiable in (object color,
+    object emission, STAGED TEXTURE ATLAS) — texel color gradients on
+    the fast path (VERDICT r4 ask #5; the north star names
+    material/texture/emission gradients, BASELINE.json).
+
+    The estimator is linear in each texel given the trajectory (the
+    bilinear fetch is linear algebra over the atlas and the mask/accum
+    recurrence matches object color, tracer.cl:1116-1176), so the
+    backward pass replays the trajectory, tapes the winning UV per
+    bounce, and scatters dS/dc through the transposed one-hot fetch
+    into a per-tile atlas accumulator (_scatter_staged) — no HBM tape,
+    no XLA gathers. Procedural textures in the same scene replay for
+    color parity but carry no gradient (their texels are programs, not
+    parameters — bake to a staged image to train them).
+
+    Returns fn(color [No,3], emission [No,3], tex [128,Ltot] staged
+    atlas, seed [2] i32, cam_vec, obj_table, nodes, tris, px, py)
+    -> (r, g, b) per-slot radiance sums (caller divides by spp).
+    """
+    assert pk.traversal_mode(meta) == "classic", \
+        "differentiable megakernel replay is classic-traversal only"
+    assert not cfg.nee, \
+        "differentiable megakernel does not replay NEE shadow draws"
+    assert pk.staged_lanes(meta) > 0, \
+        "tex gradients need VMEM-staged file textures " \
+        "(pack._stage_file_textures; over-cap images mip-stage)"
+    assert not meta.has_normal_maps, \
+        "normal-map textures redirect rays (non-linear in texels); " \
+        "train them via the wavefront AD path"
+    n = meta.n_objects
+    assemble = functools.partial(_assemble_obj, n=n)
+
+    @jax.custom_vjp
+    def render(color, emission, tex, seed, cam_vec, obj_table, nodes,
+               tris, px, py):
+        obj = assemble(obj_table, color, emission)
+        return pk.trace_tiles(
+            seed, cam_vec, obj, nodes, tris, px, py, meta=meta, cfg=cfg,
+            spp=spp, total_samples=total_samples, tile=tile,
+            interpret=interpret, tex=tex)
+
+    def fwd(color, emission, tex, seed, cam_vec, obj_table, nodes,
+            tris, px, py):
+        out = render(color, emission, tex, seed, cam_vec, obj_table,
+                     nodes, tris, px, py)
+        res = (color, emission, tex, seed, cam_vec, obj_table, nodes,
+               tris, px, py)
+        return out, res
+
+    def bwd(res, cots):
+        (color, emission, tex, seed, cam_vec, obj_table, nodes, tris,
+         px, py) = res
+        cot_r, cot_g, cot_b = cots
+        obj = assemble(obj_table, color, emission)
+        gcol, gemi, gtex = grad_tiles(
+            seed, cam_vec, obj, nodes, tris, px, py,
+            cot_r, cot_g, cot_b,
+            meta=meta, cfg=cfg, spp=spp, total_samples=total_samples,
+            tile=tile, tex_grads=True, interpret=interpret,
+            tex=tex.astype(jnp.float32))
+        gc = jnp.zeros_like(color).at[:n].set(gcol.astype(color.dtype))
+        ge = jnp.zeros_like(emission).at[:n].set(
+            gemi.astype(emission.dtype))
+        return (gc, ge, gtex.astype(tex.dtype), None, None, None, None,
+                None, None, None)
 
     render.defvjp(fwd, bwd)
     return render

@@ -200,6 +200,20 @@ def textured_planets_file_scene(cfg: RenderConfig) -> Scene:
     return sc
 
 
+@register("textures-train")
+def textured_planets_train_scene(cfg: RenderConfig) -> Scene:
+    """`textures-file` configured for TEXEL TRAINING (the round-5
+    fast-path texture gradients, pallas_grad.make_diff_render_tex):
+    normal maps off (nm texels redirect rays — non-linear, excluded
+    from the tex grad path). The staged atlas is the trainable
+    parameter set; tools/train_demo.py --tex recovers it. Extension
+    scene — not one of the reference's 15."""
+    sc = textured_planets_file_scene(cfg)
+    for o in sc.objects:
+        o.material.textured_nm = False
+    return sc
+
+
 @register("envmap-file")
 def envmap_file_scene(cfg: RenderConfig) -> Scene:
     """`envmap` with its 1024x2048 sky as a plain FILE-BACKED image (no

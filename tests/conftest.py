@@ -36,6 +36,8 @@ _SLOW_TESTS = {
     # test_grad_pallas (interpret-mode differentiable megakernel)
     "test_sharded_megakernel_step_matches_single_device",
     "test_tri_grad_fd_cpu_interpret",
+    "test_tex_grad_fd_cpu_interpret",
+    "test_tex_grad_multiwindow_fd_cpu_interpret",
     "test_obj_grad_fd_cpu_interpret",
     "test_step_descends_cpu_interpret",
     "test_sharded_megakernel_step_descends_cpu_mesh",

@@ -551,3 +551,143 @@ def test_tri_grad_batched_spp_fd_cpu_interpret():
         g_an = float(gt[s, c])
         scale = max(abs(g_fd), abs(g_an), 1e-3)
         assert abs(g_fd - g_an) / scale < 5e-2, (s, c, g_fd, g_an)
+
+
+def _setup_tex(samples=4):
+    """Staged-textured scene (all-file small checkers, nm stripped) for
+    the texel-gradient path: every texture stages (pack rules), h<=128
+    single-window, piecewise-constant texels."""
+    from pathtracer_tpu.render import proctex
+    from pathtracer_tpu.render import pallas_kernel as pk
+
+    cfg = RenderConfig(width=32, height=24, samples=samples,
+                       samples_per_pass=samples)
+    sc = get_scene("textures", cfg)
+    for o in sc.objects:
+        o.material.textured_nm = False
+    mk = lambda d, h, w: np.asarray(proctex.make(("checker", d), h, w)).copy()
+    sc.textures = [
+        mk((8, (0.9, 0.9, 0.9), (0.2, 0.2, 0.2)), 64, 64),
+        mk((8, (0.8, 0.5, 0.3), (0.3, 0.5, 0.8)), 64, 64),
+        mk((8, (0.7, 0.7, 0.2), (0.2, 0.7, 0.7)), 64, 64),
+        mk((8, (0.5, 0.5, 1.0), (0.5, 1.0, 0.5)), 64, 64),
+    ]
+    sc.sphere_textures = [
+        mk((8, (0.9, 0.6, 0.3), (0.1, 0.3, 0.6)), 64, 128),
+        mk((8, (0.8, 0.7, 0.5), (0.4, 0.3, 0.2)), 64, 128),
+    ]
+    arrays, meta = sc.pack()
+    assert pk.staged_lanes(meta) > 0 and pk.supports_scene(meta)
+    S, L = TILE
+    xs, ys, pid = pk.tile_pixel_layout(cfg.width, cfg.height, S, L)
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta,
+                                           traversal="classic")
+    return cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid
+
+
+def test_tex_grad_fd_cpu_interpret():
+    """Staged-atlas texel gradients (make_diff_render_tex: UV tape +
+    transposed one-hot scatter, no HBM tape) vs central finite
+    differences on the CPU (interpret + software PRNG). The estimator
+    is multilinear in texels, so common-random-number central FD is
+    near-exact."""
+    from pathtracer_tpu.render.pallas_grad import make_diff_render_tex
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup_tex(samples=4)
+    render = make_diff_render_tex(meta, cfg, 4, cfg.samples, TILE,
+                                  interpret=True)
+    seed = jnp.asarray([3, 0], jnp.int32)
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    tex = arrays.tex_staged.astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    wr, wg, wb = (jnp.asarray(rng.random(px.shape), jnp.float32)
+                  for _ in range(3))
+
+    def loss(c, e, t):
+        r, g, b = render(c, e, t, seed, cam_vec, obj, nodes, tris,
+                         px, py)
+        return jnp.sum(r * wr) + jnp.sum(g * wg) + jnp.sum(b * wb)
+
+    gc, ge, gt = jax.grad(loss, argnums=(0, 1, 2))(color, emission, tex)
+    gc, ge, gt = np.asarray(gc), np.asarray(ge), np.asarray(gt)
+    assert np.isfinite(gt).all()
+    assert np.abs(gt).max() > 0, "no texel gradient at all"
+    # textured objects carry exactly-zero OBJECT-color gradient (the
+    # texel overwrites their color in the forward)
+    tex_slots = {s for (s, *_r) in meta.obj_tex}
+    for j in tex_slots:
+        assert np.abs(gc[j]).max() == 0.0, (j, gc[j])
+    # emission still flows (area lights)
+    assert np.abs(ge).max() > 0
+
+    # FD on the two largest-gradient texels
+    flat = np.abs(gt).ravel()
+    picks = np.argsort(flat)[-2:]
+    h = 2e-3
+    for p in picks:
+        r_i, l_i = divmod(int(p), gt.shape[1])
+        delta = jnp.zeros_like(tex).at[r_i, l_i].set(h)
+        g_fd = float((loss(color, emission, tex + delta)
+                      - loss(color, emission, tex - delta)) / (2 * h))
+        g_an = float(gt[r_i, l_i])
+        scale = max(abs(g_fd), abs(g_an), 1e-3)
+        assert abs(g_fd - g_an) / scale < 5e-2, (r_i, l_i, g_fd, g_an)
+
+
+def test_tex_grad_multiwindow_fd_cpu_interpret():
+    """Texel gradients through the hb=2 (multi-window) scatter path:
+    the `textures-train` scene stages a 256x96 cobblestone spanning two
+    atlas lane windows. FD on the largest-gradient texels."""
+    from pathtracer_tpu.render import pallas_kernel as pk
+    from pathtracer_tpu.render.pallas_grad import make_diff_render_tex
+
+    cfg = RenderConfig(width=24, height=16, samples=2,
+                       samples_per_pass=2)
+    sc = get_scene("textures-train", cfg)
+    arrays, meta = sc.pack()
+    assert pk.staged_lanes(meta) > 0 and pk.supports_scene(meta)
+    # the scene must actually exercise a multi-window texture
+    assert any(isinstance(d, tuple) and d and d[0] == "__staged__"
+               and d[3] > 128 for (_s, d, *_r) in meta.obj_tex)
+    S, L = TILE
+    xs, ys, pid = pk.tile_pixel_layout(cfg.width, cfg.height, S, L)
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta,
+                                           traversal="classic")
+    render = make_diff_render_tex(meta, cfg, 2, cfg.samples, TILE,
+                                  interpret=True)
+    seed = jnp.asarray([11, 0], jnp.int32)
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    tex = arrays.tex_staged.astype(jnp.float32)
+
+    rng = np.random.default_rng(5)
+    wr, wg, wb = (jnp.asarray(rng.random(px.shape), jnp.float32)
+                  for _ in range(3))
+
+    def loss(t):
+        r, g, b = render(color, emission, t, seed, cam_vec, obj, nodes,
+                         tris, px, py)
+        return jnp.sum(r * wr) + jnp.sum(g * wg) + jnp.sum(b * wb)
+
+    gt = np.asarray(jax.grad(loss)(tex))
+    assert np.isfinite(gt).all() and np.abs(gt).max() > 0
+
+    flat = np.abs(gt).ravel()
+    picks = np.argsort(flat)[-2:]
+    h = 2e-3
+    for p in picks:
+        r_i, l_i = divmod(int(p), gt.shape[1])
+        delta = jnp.zeros_like(tex).at[r_i, l_i].set(h)
+        g_fd = float((loss(tex + delta) - loss(tex - delta)) / (2 * h))
+        g_an = float(gt[r_i, l_i])
+        scale = max(abs(g_fd), abs(g_an), 1e-3)
+        assert abs(g_fd - g_an) / scale < 5e-2, (r_i, l_i, g_fd, g_an)
