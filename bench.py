@@ -26,6 +26,20 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# persistent XLA compile cache (same dir as the CLI): repeat bench runs
+# and the full-render record skip most of the minutes-scale remote
+# compiles
+try:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/pathtracer_tpu_xla")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 — cache is best-effort
+    pass
+
 BASELINE_MSPS = 1280 * 960 * 2048 / 45.43 / 1e6  # 55.39 Msamples/s
 # per-scene reference baselines (BASELINE.md): best published wall times
 # at 1280x960 x 2048 spp on the RTX 2080
@@ -327,6 +341,53 @@ def _extra_records(width, height):
     return out
 
 
+def _full_render_record(width, height):
+    """End-to-end wall clock of the FULL headline render (reference
+    scene, width x height x 2048 spp) through the production driver —
+    scene build + segmented device render + host download included.
+    This is the number the reference's published 45.43 s actually is
+    (VERDICT r4 ask #7). Two runs: the first pays whatever compile the
+    persistent cache doesn't cover, the second is the warm number."""
+    import jax
+
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.driver import render_driver
+    from pathtracer_tpu.scenes import get_scene
+
+    if (os.environ.get("BENCH_EXTRA", "1") == "0"
+            or jax.devices()[0].platform != "tpu"):
+        return {}
+
+    def one(tag_unused):
+        t0 = time.perf_counter()
+        cfg = RenderConfig(width=width, height=height, samples=2048,
+                           samples_per_pass=8)
+        sc = get_scene("reference", cfg)
+        arrays, meta = sc.pack()
+        img, stats = render_driver(arrays, meta, sc.camera, cfg)
+        wall = time.perf_counter() - t0
+        assert float(img.mean()) > 0.0
+        return wall, stats
+
+    try:
+        wall_cold, _ = _recoverable_retry(lambda: one("cold"),
+                                          attempts=2)
+        wall_warm, stats = _recoverable_retry(lambda: one("warm"),
+                                              attempts=2)
+        total = width * height * 2048
+        return {"full_render_1280x960x2048": {
+            "wall_s": round(wall_warm, 2),
+            "wall_s_first_run": round(wall_cold, 2),
+            "Msamples_per_sec_e2e": round(total / wall_warm / 1e6, 1),
+            "vs_baseline_wall": round(45.43 / wall_warm, 2),
+            "device_Msamples_per_sec": round(
+                getattr(stats, "msamples_per_sec", 0.0), 1),
+        }}
+    except Exception as e:  # noqa: BLE001 — never sink the headline
+        return {"full_render_1280x960x2048": {
+            "error": f"{type(e).__name__}"[:60]}}
+
+
 def main():
     from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.scenes import get_scene
@@ -377,6 +438,8 @@ def main():
         extra = _extra_records(width, height)
     except Exception as e:  # noqa: BLE001 — extras never sink the headline
         extra = {"error": f"{type(e).__name__}"[:60]}
+    if scene == "reference" and backend == "pallas":
+        extra.update(_full_render_record(width, height))
     if extra:
         rec["extra"] = extra
     print(json.dumps(rec))

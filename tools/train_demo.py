@@ -19,10 +19,20 @@ Works on CPU (JAX_PLATFORMS=cpu, slower) or the TPU chip (--tri needs
 the TPU or --interpret).
 """
 import argparse
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# honor JAX_PLATFORMS=cpu BEFORE backend init: the axon TPU plugin
+# force-resets the env var at interpreter start, so without this a
+# "CPU" run silently attaches to the TPU tunnel — crashing any
+# concurrent TPU job (tests/conftest.py has the same workaround)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np  # noqa: E402
 
@@ -38,12 +48,18 @@ def main():
     ap.add_argument("--tri", action="store_true",
                     help="mesh mode: recover per-triangle colors via the "
                          "differentiable megakernel tri tape")
+    ap.add_argument("--tex", action="store_true",
+                    help="texture mode: recover the staged texel atlas "
+                         "via the fast-path texel gradients "
+                         "(pallas_grad.make_diff_render_tex)")
     ap.add_argument("--scene", default="teapot")
     ap.add_argument("--interpret", action="store_true",
                     help="interpret-mode kernels (CPU; slow, tiny sizes)")
     args = ap.parse_args()
     if args.tri:
         return main_tri(args)
+    if args.tex:
+        return main_tex(args)
 
     import jax
     import jax.numpy as jnp
@@ -274,6 +290,127 @@ def main_tri(args):
     strip = np.concatenate(
         [to_img(tc_true), to_img(tc0), to_img(tc)], axis=1)
     out = args.out if args.out != "docs/renders/train_demo.png"         else "docs/renders/train_demo_tri.png"
+    write_png(out, strip)
+    print(f"wrote {out} (target | perturbed | recovered)")
+    return err0, err1
+
+
+def main_tex(args):
+    """Texture recovery: perturb the staged texel atlas, then recover it
+    by adam through the fast-path texel gradients (round 5,
+    pallas_grad.make_diff_render_tex — the north star's
+    material/texture/emission gradient dimension). Use
+    --scene textures-train (normal maps off; nm texels redirect rays
+    and are excluded from texel training)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.io.png import write_png
+    from pathtracer_tpu.render import pallas_kernel as pk
+    from pathtracer_tpu.render.pallas_grad import make_diff_render_tex
+    from pathtracer_tpu.scenes import get_scene
+
+    scene = args.scene if args.scene != "teapot" else "textures-train"
+    W, H = args.width, args.height
+    cfg = RenderConfig(width=W, height=H, samples=args.spp,
+                       samples_per_pass=args.spp)
+    sc = get_scene(scene, cfg)
+    arrays, meta = sc.pack()
+    assert pk.staged_lanes(meta) > 0, \
+        "--tex needs a staged-texture scene (e.g. textures-train)"
+    S, L = (8, 512) if not args.interpret else (8, 128)
+    xs, ys, pid = pk.tile_pixel_layout(W, H, S, L,
+                                       order=pk.default_order(meta))
+    px = jnp.asarray(xs)
+    py = jnp.asarray(ys)
+    cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
+    obj, nodes, tris = pk.scene_tables_jnp(arrays, meta,
+                                           traversal="classic")
+    spp = args.spp
+    render = make_diff_render_tex(meta, cfg, spp, cfg.samples, (S, L),
+                                  interpret=args.interpret)
+    valid = jnp.asarray((pid >= 0).reshape(px.shape), jnp.float32)
+    n_valid = float(np.asarray(valid).sum())
+    inv = 1.0 / float(spp)
+    seed = jnp.asarray([23, 0], jnp.int32)   # common random numbers
+
+    def forward(c, e, tex):
+        r, g, b = render(c, e, tex, seed, cam_vec, obj, nodes, tris,
+                         px, py)
+        return r * inv, g * inv, b * inv
+
+    color = arrays.color.astype(jnp.float32)
+    emission = arrays.emission.astype(jnp.float32)
+    tex_true = arrays.tex_staged.astype(jnp.float32)
+
+    # active texel lanes from the staged descriptors (padding lanes get
+    # exactly-zero gradients — nothing samples them)
+    active = np.zeros(tex_true.shape, bool)
+    for (_s, d, *_r) in meta.obj_tex:
+        if isinstance(d, tuple) and d and d[0] == "__staged__":
+            _, base, w, h = d
+            hb = -(-h // 128)
+            active[:min(h, 128), base: base + 3 * hb * w] = True
+    rng = np.random.default_rng(7)
+    tex0 = np.asarray(tex_true).copy()
+    tex0[active] = np.clip(
+        tex0[active] + rng.uniform(-0.3, 0.3, int(active.sum())),
+        0.0, 1.0)
+    tex0 = jnp.asarray(tex0)
+
+    target = [jax.lax.stop_gradient(t)
+              for t in jax.jit(forward)(color, emission, tex_true)]
+
+    def loss_fn(tex):
+        r, g, b = forward(color, emission, tex)
+        return sum(jnp.sum(((x - t) * valid) ** 2)
+                   for x, t in zip((r, g, b), target)) / (3.0 * n_valid)
+
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(tex0)
+
+    @jax.jit
+    def step(tex, st):
+        loss, gt = jax.value_and_grad(loss_fn)(tex)
+        up, st = opt.update(gt, st, tex)
+        tex = jnp.clip(optax.apply_updates(tex, up), 0.0, 1.0)
+        return tex, st, loss
+
+    tex = tex0
+    tex, opt_state, loss0 = step(tex, opt_state)   # compile + step 0
+    float(loss0)
+    t0 = time.time()
+    losses = [float(loss0)]
+    for i in range(1, args.steps):
+        tex, opt_state, loss = step(tex, opt_state)
+        losses.append(float(loss))
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i:4d}  loss {losses[-1]:.6f}", flush=True)
+    dt = time.time() - t0
+    rate = W * H * spp * max(1, args.steps - 1) / dt / 1e6
+
+    err0 = float(np.abs(np.asarray(tex0)[active]
+                        - np.asarray(tex_true)[active]).mean())
+    err1 = float(np.abs(np.asarray(tex)[active]
+                        - np.asarray(tex_true)[active]).mean())
+    print(f"{args.steps} tex steps in {dt:.1f}s "
+          f"({rate:.2f} Msamples/s fwd+bwd, "
+          f"{int(active.sum())} active texel lanes); "
+          f"loss {losses[0]:.6f} -> {losses[-1]:.6f}; "
+          f"texel MAD {err0:.4f} -> {err1:.4f}")
+
+    def to_img(tv):
+        r, g, b = jax.jit(forward)(color, emission, tv)
+        img = np.stack([np.asarray(r).ravel(), np.asarray(g).ravel(),
+                        np.asarray(b).ravel()], -1)
+        return pk.untile_image(img, pid, W, H).reshape(H, W, 3)
+
+    strip = np.concatenate(
+        [to_img(tex_true), to_img(tex0), to_img(tex)], axis=1)
+    out = (args.out if args.out != "docs/renders/train_demo.png"
+           else "docs/renders/train_demo_tex.png")
     write_png(out, strip)
     print(f"wrote {out} (target | perturbed | recovered)")
     return err0, err1

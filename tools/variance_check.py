@@ -33,11 +33,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# CPU-only tool. NOTE: the axon TPU plugin FORCE-SETS JAX_PLATFORMS=axon
+# at interpreter startup, so a setdefault would silently attach this
+# "CPU" job to the TPU tunnel and crash any concurrent TPU run — pin
+# cpu unconditionally (tests/conftest.py has the same workaround)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 

@@ -110,8 +110,11 @@ def make_kernel(variant):
             # exact issue-slot count per triangle (FMA = 1 slot):
             # pxx/pyy/pzz 3, den 3 (mul+2fma->3), num_t 4, abs 1, cmp 1,
             # where 1, recip ~4 (NR), t 1, hx/hy/hz 3, u 3, v 3,
-            # bt fma 1, gnx add 1  => ~30 slots
-            return 30
+            # bt fma 1, gnx add 1  => ~30 slots PER TRIANGLE, and the
+            # body unrolls UNROLL triangles per fori iteration (round-5
+            # fix: the original returned 30, a 32x under-count that
+            # would have reported leafmix 32x slower than reality)
+            return 30 * UNROLL
     return kernel
 
 
