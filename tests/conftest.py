@@ -42,6 +42,7 @@ _SLOW_TESTS = {
     "test_step_descends_cpu_interpret",
     "test_sharded_megakernel_step_descends_cpu_mesh",
     "test_tri_grad_batched_spp_fd_cpu_interpret",
+    "test_tri_grad_onehot_matches_tape",
     # training / gradients
     "test_train_demo_recovers_colors",
     "test_sharded_train_step_optax",

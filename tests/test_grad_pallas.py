@@ -691,3 +691,34 @@ def test_tex_grad_multiwindow_fd_cpu_interpret():
         g_an = float(gt[r_i, l_i])
         scale = max(abs(g_fd), abs(g_an), 1e-3)
         assert abs(g_fd - g_an) / scale < 5e-2, (r_i, l_i, g_fd, g_an)
+
+
+def test_tri_grad_onehot_matches_tape():
+    """The round-5 on-core one-hot slot scatter (tri_mode='onehot') and
+    the round-2b HBM tape + segment-sum (tri_mode='tape') are the same
+    mathematical scatter-add — gradients must agree to f32 round-off
+    on an identical trajectory."""
+    from pathtracer_tpu.render import pallas_kernel as pk
+    from pathtracer_tpu.render.pallas_grad import grad_tiles
+
+    cfg, sc, arrays, meta, cam_vec, obj, nodes, tris, px, py, pid = \
+        _setup_mesh(samples=2)
+    import dataclasses
+
+    meta_nd = dataclasses.replace(meta, tri_uniform_color=None)
+    seed = jnp.asarray([9, 0], jnp.int32)
+    cot = jnp.ones(px.shape, jnp.float32)
+    outs = {}
+    for mode in ("onehot", "tape"):
+        gcol, gemi, gtri = grad_tiles(
+            seed, cam_vec, obj, nodes, tris, px, py, cot, cot, cot,
+            meta=meta_nd, cfg=cfg, spp=2, total_samples=cfg.samples,
+            tile=TILE, tri_grads=True, interpret=True, tri_mode=mode)
+        outs[mode] = (np.asarray(gcol), np.asarray(gemi),
+                      np.asarray(gtri))
+    for a, b, name in zip(outs["onehot"], outs["tape"],
+                          ("gcol", "gemi", "gtri")):
+        d = np.abs(a - b).max()
+        scale = max(np.abs(b).max(), 1e-6)
+        assert d / scale < 1e-5, (name, d, scale)
+    assert np.abs(outs["tape"][2]).max() > 0

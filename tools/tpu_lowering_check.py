@@ -123,10 +123,13 @@ def check_nee(scene: str) -> bool:
         return False
 
 
-def check_grad(scene: str, tri: bool, spp: int) -> bool:
+def check_grad(scene: str, tri: bool, spp: int,
+               tri_mode: str = "onehot", tex: bool = False) -> bool:
     """Lower the fused differentiable megakernel's fwd+bwd (grad_tiles);
-    tri=True exercises the per-(sample, bounce) triangle tape with spp
-    samples per launch (dynamic plane-offset output stores)."""
+    tri=True exercises the per-triangle path — tri_mode='onehot' the
+    round-5 on-core slot scatter, 'tape' the HBM tape (dynamic
+    plane-offset output stores); tex=True the round-5 staged-atlas
+    texel gradients (UV tape + transposed one-hot scatter)."""
     from pathtracer_tpu.render import pallas_grad as pg
 
     cfg = RenderConfig(width=64, height=48, samples=spp,
@@ -142,16 +145,19 @@ def check_grad(scene: str, tri: bool, spp: int) -> bool:
                                            traversal="classic")
     cam = jnp.asarray(pk.build_camera_vec(sc.camera))
     z = jnp.zeros(xs.shape, jnp.float32)
+    tex_arr = arrays.tex_staged if tex else None
 
     def fn(seed, cam, obj, nodes, tris, px, py, cr, cg, cb):
         return pg.grad_tiles(seed, cam, obj, nodes, tris, px, py,
                              cr, cg, cb, meta=meta, cfg=cfg, spp=spp,
                              total_samples=cfg.samples, tile=(S, L),
-                             tri_grads=tri)[0]
+                             tri_grads=tri, tri_mode=tri_mode,
+                             tex_grads=tex, tex=tex_arr)[0]
 
     args = (jnp.asarray([0, 0], jnp.int32), cam, obj, nodes, tris,
             jnp.asarray(xs), jnp.asarray(ys), z, z, z)
-    tag = f"grad(tri={tri}, spp={spp})"
+    tag = (f"grad(tri={tri}/{tri_mode}, spp={spp})" if not tex
+           else f"grad(tex, spp={spp})")
     try:
         exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
         print(f"[{scene}] {tag} TPU lowering OK "
@@ -258,7 +264,9 @@ if __name__ == "__main__":
     if not sys.argv[1:]:
         ok &= check_nee("reference")
         ok &= check_grad("reference", tri=False, spp=8)
-        ok &= check_grad("teapot", tri=True, spp=4)
+        ok &= check_grad("teapot", tri=True, spp=4, tri_mode="tape")
+        ok &= check_grad("teapot", tri=True, spp=8, tri_mode="onehot")
+        ok &= check_grad("textures-train", tri=False, spp=4, tex=True)
         ok &= check_staged()
         ok &= check_chunk_gated("teapot")
     sys.exit(0 if ok else 1)
