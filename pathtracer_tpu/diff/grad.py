@@ -234,12 +234,15 @@ def make_megakernel_step_tri(scn, meta, cfg, camera, n_passes=2,
                              spp=4):
     """SGD step on (color, emission, PER-TRIANGLE color) through the
     differentiable megakernel's tri mode (pallas_grad.
-    make_diff_render_tri). Each kernel launch renders `spp` samples
-    (the per-(sample, bounce) tri tape streams to HBM; the VMEM block
-    budget caps spp per launch); the step accumulates `n_passes`
-    launches with distinct PRNG streams (common-random-number across
-    step invocations — same seed, same estimator, the property inverse
-    rendering needs). Total samples per step = n_passes * spp.
+    make_diff_render_tri). Each kernel launch renders `spp` samples;
+    under the round-5 default tri_mode='onehot' (on-core slot scatter)
+    spp is unbounded — use n_passes=1, spp=budget. Under
+    PT_TRI_GRAD=tape the per-(sample, bounce) HBM tape's VMEM block
+    budget caps spp per launch (~4 at (8,512)) and the step accumulates
+    `n_passes` launches with distinct PRNG streams
+    (common-random-number across step invocations — same seed, same
+    estimator, the property inverse rendering needs). Total samples
+    per step = n_passes * spp.
 
     Returns (step, target_of): step(color, emission, tri_color,
     seed_i32 [2], target_rgb) -> (new_color, new_emission,

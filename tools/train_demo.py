@@ -207,9 +207,16 @@ def main_tri(args):
     cam_vec = jnp.asarray(pk.build_camera_vec(sc.camera))
     obj, nodes, tris = pk.scene_tables_jnp(arrays, meta,
                                            traversal="classic")
-    # spp per launch is capped by the tri tape's VMEM block budget;
-    # accumulate passes for the requested total
-    spp = min(args.spp, 4)
+    # tape mode (PT_TRI_GRAD=tape): spp per launch is capped by the tri
+    # tape's VMEM block budget — accumulate passes for the requested
+    # total. onehot mode (round-5 default, on-core slot scatter): no
+    # tape, no cap — one launch carries the whole budget.
+    import os as _os
+
+    if _os.environ.get("PT_TRI_GRAD", "onehot") == "tape":
+        spp = min(args.spp, 4)
+    else:
+        spp = args.spp
     n_passes = max(1, args.spp // spp)
     total = n_passes * spp
     render = make_diff_render_tri(meta, cfg, total, (S, L), spp=spp,
