@@ -123,10 +123,13 @@ def test_checkpoint_layout_mismatch_rejected(tmp_path):
     assert n == 1
 
 
-def test_forced_pallas_on_unsupported_scene_raises():
-    """--backend pallas on a scene with a FILE-backed texture (no
-    procedural descriptor -> texels cannot be computed in-kernel) must
-    fail loudly, not silently render untextured."""
+def test_forced_pallas_on_unsupported_scene_raises(monkeypatch):
+    """--backend pallas on a scene with an UNSTAGEABLE file-backed
+    texture must fail loudly, not silently render untextured. Round 5:
+    over-cap file images normally mip-stage (pack._mip2) and DO ride
+    the megakernel, so the unstageable case is pinned with
+    PT_TEX_MIP=0 (the round-4 skip-too-big behavior)."""
+    monkeypatch.setenv("PT_TEX_MIP", "0")
     cfg = RenderConfig(width=16, height=12, samples=2, samples_per_pass=2,
                       backend="pallas")
     sc = get_scene("textures", cfg)
