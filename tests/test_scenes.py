@@ -17,7 +17,9 @@ EXPECTED = {
     "christian": (15, True, False),
     "textures": (9, False, True),
     "textures-file": (9, False, True),
+    "textures-train": (9, False, True),
     "envmap": (2, False, True),
+    "envmap-file": (2, False, True),
     "cubemap": (4, True, True),
     "reflection": (8, False, False),
     "transparency": (9, False, False),
