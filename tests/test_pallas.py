@@ -49,12 +49,15 @@ def test_supports_scene_classification(small_cfg):
         assert supports_scene(meta) == expect, name
 
 
-def test_supports_scene_file_texture_falls_back(small_cfg):
-    """A scene sampling a LARGE file image (no proctex descriptor, too
+def test_supports_scene_file_texture_falls_back(small_cfg, monkeypatch):
+    """With mip staging DISABLED (PT_TEX_MIP=0, the round-4 behavior),
+    a scene sampling a LARGE file image (no proctex descriptor, too
     big to VMEM-stage: the one-hot MXU fetch costs O(texture area) per
     texel, pack._stage_file_textures) must stay on the wavefront path.
-    Small file images ARE staged and supported — see
-    test_megakernel_staged_file_textures_match_proc."""
+    With mip staging on (the round-5 default) the same image stages at
+    a mip and the scene IS supported —
+    test_megakernel_mip_staged_large_texture."""
+    monkeypatch.setenv("PT_TEX_MIP", "0")
     sc = get_scene("textures", small_cfg)
     # strip the descriptor from one texture, as a loaded PNG would be;
     # at 512x512 it exceeds the PT_TEX_STAGE_AREA default (256x256)
@@ -62,6 +65,12 @@ def test_supports_scene_file_texture_falls_back(small_cfg):
     assert sc.textures[0].shape[0] * sc.textures[0].shape[1] > 256 * 256
     _, meta = sc.pack()
     assert not supports_scene(meta)
+    # round-5 default: the same scene mip-stages and rides the kernel
+    monkeypatch.delenv("PT_TEX_MIP")
+    sc2 = get_scene("textures", small_cfg)
+    sc2.textures[0] = np.asarray(sc2.textures[0])
+    _, meta2 = sc2.pack()
+    assert supports_scene(meta2)
 
 
 @_tpu
