@@ -402,12 +402,22 @@ def default_pack_axis(meta: SceneMeta) -> str:
               union — the gated walk then skips ~(nc-1)/nc of the leaf
               vector work instead of ~none (with row replicas every
               chunk mixes all spp_pack pencil directions and overlaps
-              everything). PT_PACK_AXIS overrides; the default follows
-              the round-4 hardware A/B (docs/PERFORMANCE.md).
+              everything). PT_PACK_AXIS overrides.
+
+    Round-5 default: CHUNK for mesh scenes — the full hardware matrix
+    (tools/r5_matrix.log, docs/PERFORMANCE.md) measured chunk-packed
+    (8,512) at 34.2/18.5 Ms/s on teapot/gopher vs 29.4/15.9 row-packed
+    (+16%), with production-size mean parity verified over 8 seeds and
+    per-pixel variance parity over 64 (tools/variance_check.py).
+    Primitive scenes have no traversal to help, so they keep "row"
+    (their pack is 1 anyway, default_pack).
     """
     import os
 
-    return os.environ.get("PT_PACK_AXIS", "row")
+    v = os.environ.get("PT_PACK_AXIS")
+    if v:
+        return v
+    return "chunk" if meta.has_groups else "row"
 
 
 def clamp_pack(pack: int, S: int, L: int, pack_axis: str) -> int:

@@ -83,28 +83,27 @@ def main():
             total_samples=cfg.samples, tile=TILE)
         float(gc.sum())
 
-    # tape without segment-sum: jit a wrapper that sums the raw tape
-    @jax.jit
-    def _tape_only(seed):
-        outs = pg.grad_tiles(
-            seed, cam_vec, obj, nodes, tris, px, py, cot, cot, cot,
-            meta=meta_nd, cfg=cfg, spp=SPP, total_samples=cfg.samples,
-            tile=TILE, tri_grads=True)
-        # outs = (gcol, gemi, gtri): gtri INCLUDES segment-sum; for the
-        # tape-only ablation we need the raw kernel outputs — call the
-        # pallas path directly is private, so instead measure full and
-        # subtract; keep this wrapper for the full number
-        return outs[2].sum()
+    def make_bwd_tri(mode):
+        @jax.jit
+        def _f(seed):
+            outs = pg.grad_tiles(
+                seed, cam_vec, obj, nodes, tris, px, py, cot, cot, cot,
+                meta=meta_nd, cfg=cfg, spp=SPP,
+                total_samples=cfg.samples, tile=TILE, tri_grads=True,
+                tri_mode=mode)
+            return outs[2].sum()
 
-    def bwd_full(seed):
-        float(_tape_only(jnp.asarray([seed, 0], jnp.int32)))
+        def bwd(seed):
+            float(_f(jnp.asarray([seed, 0], jnp.int32)))
+        return bwd
 
-    timed("fwd", fwd)
-    timed("bwd_obj", bwd_obj)
-    timed("bwd_full", bwd_full)
-    print("# bwd_full - bwd_obj ~= tri tape + segment-sum cost; "
-          "fwd+bwd_full step rate = W*H*SPP / (fwd + bwd_full)",
-          flush=True)
+    t_fwd = timed("fwd", fwd)
+    t_obj = timed("bwd_obj", bwd_obj)
+    t_tape = timed("tri_tape", make_bwd_tri("tape"))
+    t_oh = timed("tri_onehot", make_bwd_tri("onehot"))
+    for name, t_b in (("tape", t_tape), ("onehot", t_oh)):
+        r = W * H * SPP / (t_fwd + t_b) / 1e6
+        print(f"# fwd+bwd ({name}): {r:.2f} Ms/s", flush=True)
 
 
 if __name__ == "__main__":
