@@ -138,8 +138,11 @@ def _scatter_staged(tex_out, desc, u, v, g_r, g_g, g_b):
 
     z = jnp.zeros((128, cw), jnp.float32)
     gr, gg, gb = jax.lax.fori_loop(0, S, row, (z, z, z))
+    # round-5 GLOBAL color-outer atlas: color c of this texture lives
+    # at c*P + base (P = plane stride, pack._stage_file_textures)
+    P = tex_out.shape[2] // 3
     for c, g in enumerate((gr, gg, gb)):
-        tex_out[0, :, base + c * cw: base + (c + 1) * cw] += g
+        tex_out[0, :, c * P + base: c * P + base + cw] += g
 
 
 def _scatter_slots(out_ref, slot_f, g_r, g_g, g_b, nw):

@@ -114,14 +114,15 @@ def textures_procedural(meta: SceneMeta) -> bool:
 def staged_lanes(meta: SceneMeta) -> int:
     """Lane width of the VMEM-staged file-texture atlas this scene needs
     (0 when nothing is staged). Mirrors pack._stage_file_textures's
-    layout: each staged texture spans ceil(h/128)*3*w lanes from its
-    base, and the atlas pads to a 128-lane multiple."""
+    GLOBAL color-outer layout: each staged texture spans ceil(h/128)*w
+    lanes from its within-plane base, the plane pads to a 128-lane
+    multiple, and the atlas is three planes wide."""
     m = 0
     for (_slot, desc, _w, _h, _sx, _sy) in meta.obj_tex + meta.obj_tex_nm:
         if isinstance(desc, tuple) and desc and desc[0] == "__staged__":
             _, b, w, h = desc
-            m = max(m, b + (-(-h // 128)) * 3 * w)
-    return max(128, -(-m // 128) * 128) if m else 0
+            m = max(m, b + (-(-h // 128)) * w)
+    return 3 * max(128, -(-m // 128) * 128) if m else 0
 
 
 def supports_scene(meta: SceneMeta, scn: SceneArrays = None) -> bool:
@@ -1016,7 +1017,14 @@ def _sample_staged(tex_ref, desc, u, v):
     so the two paths agree texel-exactly."""
     _, base, w, h = desc
     hb = -(-h // 128)
-    win = tex_ref[:, base:base + hb * 3 * w]        # static window slice
+    # round-5 atlas layout: GLOBAL color-outer (plane stride P = Ltot/3,
+    # pack._stage_file_textures) — re-assemble this group's [r | g | b]
+    # window from the three static plane slices; the window math below
+    # is unchanged
+    P = tex_ref.shape[1] // 3
+    win = jnp.concatenate(
+        [tex_ref[:, c * P + base: c * P + base + hb * w]
+         for c in range(3)], axis=1)                # [128, 3*hb*w]
     fx = u * jnp.float32(w) - 0.5
     fy = v * jnp.float32(h) - 0.5
     x0 = jnp.floor(fx)
@@ -1106,6 +1114,97 @@ def _sample_tex(tex_ref, desc, w, h, u, v):
     if isinstance(desc, tuple) and desc and desc[0] == "__staged__":
         return _sample_staged(tex_ref, desc, u, v)
     return _sample_proc(desc, w, h, u, v)
+
+
+def _unified_staged() -> bool:
+    """Round 5: fetch ALL of a bounce's staged textures with ONE matmul
+    pair per sublane row instead of one per texture group. The staged
+    path is DISPATCH-bound, not area-bound (measured: 64² mips of every
+    texture buy only +13% over full sizes, docs/PERFORMANCE.md), so
+    merging the per-group matmuls — identical MACs over the
+    concatenated atlas, ~n_groups× fewer MXU dispatches — attacks the
+    actual cost. PT_TEX_UNIFIED=0 restores the per-group fetch."""
+    return os.environ.get("PT_TEX_UNIFIED", "1") != "0"
+
+
+def _sample_staged_unified(tex_ref, base, w, h, u, v, active):
+    """Bilinear REPEAT sample of VMEM-staged textures with PER-LANE
+    descriptors: base/w/h are f32 [S, L] vectors (the winning object's
+    staged-texture geometry, where()-merged exactly like its color), so
+    ONE call serves every staged group of the bounce.
+
+    Same algebra as _sample_staged's multi-window path — per sublane
+    row, per row-tap, one one-hot [128, L] x [128, Ltot] matmul over
+    the WHOLE atlas, then ONE color-independent lane mask: the atlas is
+    GLOBAL color-outer (all red planes | green | blue, plane stride
+    P = Ltot/3, pack._stage_file_textures), so color c's texel for
+    every texture sits at c*P + base + k*w + x and the three color
+    reduces are static [L, P] slices sharing the mask. MAC count
+    equals the sum of the per-group fetches; dispatch count is
+    n_groups× smaller (the staged path is dispatch-bound —
+    docs/PERFORMANCE.md). Lanes with `active` False fetch garbage
+    harmlessly (weights zeroed via the m matrix; results masked by the
+    caller)."""
+    Ltot = tex_ref.shape[1]
+    P = Ltot // 3
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    wsafe = jnp.maximum(w, 1.0)
+    hsafe = jnp.maximum(h, 1.0)
+    x0f = _wrap_tex(x0, wsafe)
+    x1f = _wrap_tex(x0 + 1.0, wsafe)
+    y0f = _wrap_tex(y0, hsafe)
+    y1f = _wrap_tex(y0 + 1.0, hsafe)
+    S, L = u.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L, P), 1)
+    rowoh = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    act_f = active.astype(jnp.float32)
+
+    def row(s, acc):
+        def take(a):             # [S, L] -> [L] (row s, masked reduce)
+            return jnp.sum(jnp.where(rowoh == s, a,
+                                     jnp.zeros_like(a)), axis=0)
+
+        def bc_row(a):           # [S, L] -> [128, L]
+            return jax.lax.broadcast_in_dim(take(a), (128, L), (1,))
+
+        def bc_lane(a):          # [S, L] -> [L, P]
+            return jax.lax.broadcast_in_dim(take(a), (L, P), (0,))
+
+        txl = bc_lane(tx)
+        offb = bc_lane(base).astype(jnp.int32)
+        wl = bc_lane(w).astype(jnp.int32)
+        x0l = bc_lane(x0f).astype(jnp.int32)
+        x1l = bc_lane(x1f).astype(jnp.int32)
+        taps = []
+        for yif, wy in ((y0f, 1.0 - ty), (y1f, ty)):
+            yi = bc_row(yif).astype(jnp.int32)
+            k = yi // 128                            # window index
+            m = ((col == yi - 128 * k).astype(jnp.float32)
+                 * bc_row(wy * act_f))
+            sel = jax.lax.dot_general(
+                m, tex_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [L, 3P]
+            klane = bc_lane((yif // 128.0)).astype(jnp.int32) * wl
+            off = offb + klane
+            n = ((lane == (off + x0l)).astype(jnp.float32)
+                 * (1.0 - txl)
+                 + (lane == (off + x1l)).astype(jnp.float32) * txl)
+            taps.append([jnp.sum(sel[:, c * P:(c + 1) * P] * n, axis=1)
+                         for c in range(3)])
+        res = [taps[0][c] + taps[1][c] for c in range(3)]
+        oh = (rowoh == s).astype(jnp.float32)
+        return tuple(
+            a + oh * jax.lax.broadcast_in_dim(r, (S, L), (1,))
+            for a, r in zip(acc, res))
+
+    zero = jnp.zeros((S, L), jnp.float32)
+    return list(jax.lax.fori_loop(0, S, row, (zero, zero, zero)))
 
 
 def _tex_groups(entries, obj_types):
@@ -2145,6 +2244,23 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
 
                 # ---- texture color (tracer.cl:1075-1093): computed, not
                 # gathered — one masked program eval per distinct texture
+                staged_grps = [g for g in tex_groups
+                               if isinstance(g[1], tuple) and g[1]
+                               and g[1][0] == "__staged__"]
+                unify = _unified_staged() and len(staged_grps) >= 2
+                if unify:
+                    # round 5: merge every staged group's fetch into ONE
+                    # unified per-lane-descriptor sample (the staged
+                    # path is dispatch-bound; docs/PERFORMANCE.md) —
+                    # UV + the winning texture's geometry are
+                    # where()-merged per group, then one fetch serves
+                    # them all
+                    su = jnp.zeros(shape, jnp.float32)
+                    sv = jnp.zeros(shape, jnp.float32)
+                    sb = jnp.zeros(shape, jnp.float32)
+                    sw = jnp.ones(shape, jnp.float32)
+                    sh = jnp.ones(shape, jnp.float32)
+                    s_act = jnp.zeros(shape, jnp.bool_)
                 for (slots, desc, tw, th, sx, sy, tcode) in tex_groups:
                     msk = functools.reduce(
                         jnp.logical_or, [w_obj == s for s in slots])
@@ -2155,11 +2271,27 @@ def _make_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                         tu, tv = _spherical_uv(lx, ly, lz)
                     else:  # BOX (cube-cross)
                         tu, tv = _cube_uv(lx, ly, lz)
+                    if unify and (slots, desc, tw, th, sx, sy, tcode) \
+                            in staged_grps:
+                        _, d_base, d_w, d_h = desc
+                        su = jnp.where(msk, tu, su)
+                        sv = jnp.where(msk, tv, sv)
+                        sb = jnp.where(msk, float(d_base), sb)
+                        sw = jnp.where(msk, float(d_w), sw)
+                        sh = jnp.where(msk, float(d_h), sh)
+                        s_act = s_act | msk
+                        continue
                     tcr, tcg, tcb = _sample_tex(tex_ref, desc, tw, th,
                                                 tu, tv)
                     col_r = jnp.where(msk, tcr, col_r)
                     col_g = jnp.where(msk, tcg, col_g)
                     col_b = jnp.where(msk, tcb, col_b)
+                if unify:
+                    tcr, tcg, tcb = _sample_staged_unified(
+                        tex_ref, sb, sw, sh, su, sv, s_act)
+                    col_r = jnp.where(s_act, tcr, col_r)
+                    col_g = jnp.where(s_act, tcg, col_g)
+                    col_b = jnp.where(s_act, tcb, col_b)
 
                 # ---- material roulette (tracer.cl:982-1061) -----------
                 # coherent mode: replica-shared roulette + hemisphere

@@ -302,7 +302,7 @@ def _stage_file_textures(obj_tex, obj_tex_nm, tex_ims, nm_ims):
                 order.append(id(im))
     base = {}
     staged = {}
-    off = 0
+    off = 0                       # within-COLOR-PLANE lane offset
     for key in order:
         im = blocks[key]
         if im.shape[0] * im.shape[1] > max_area and mip_enabled:
@@ -314,31 +314,34 @@ def _stage_file_textures(obj_tex, obj_tex_nm, tex_ims, nm_ims):
                 im = _mip2(im)
         h, w = int(im.shape[0]), int(im.shape[1])
         hb = -(-h // _STAGE_HB)
-        if h * w > max_area or off + hb * 3 * w > max_lanes:
+        if h * w > max_area or 3 * (off + hb * w) > max_lanes:
             continue
         base[key] = off
         staged[key] = im
-        off += hb * 3 * w
+        off += hb * w
     if not base:
         return obj_tex, obj_tex_nm, None
-    ltot = max(128, -(-off // 128) * 128)
-    atlas = np.zeros((_STAGE_HB, ltot), np.float32)
+    # GLOBAL color-outer layout (round 5): [all red planes | all green |
+    # all blue], plane stride P — color c of texture g sits at
+    # c*P + base_g + k*w + x. One color-independent lane mask then
+    # serves all three planes AND all textures at once, which is what
+    # lets the megakernel fetch every staged texture of a bounce with
+    # ONE matmul pair (pallas_kernel._sample_staged_unified; the staged
+    # path is dispatch-bound, docs/PERFORMANCE.md).
+    plane = max(128, -(-off // 128) * 128)
+    atlas = np.zeros((_STAGE_HB, 3 * plane), np.float32)
     for key, b in base.items():
         im = staged[key]
         h, w = int(im.shape[0]), int(im.shape[1])
         q = np.clip(np.round(np.asarray(im[..., :3], np.float64) * 255.0),
                     0, 255).astype(np.float32) / np.float32(255.0)
         hb = -(-h // _STAGE_HB)
-        # COLOR-OUTER window layout: [r: hb windows of w | g | b], so
-        # the sampler's x/window lane mask is color-independent (built
-        # once, reused for all three planes; offset(c,k,x) = c*hb*w +
-        # k*w + x)
         for k in range(hb):
             rows = q[k * _STAGE_HB:(k + 1) * _STAGE_HB]
             for c in range(3):
                 atlas[: rows.shape[0],
-                      b + (c * hb + k) * w: b + (c * hb + k + 1) * w] = \
-                    rows[..., c]
+                      c * plane + b + k * w: c * plane + b + (k + 1) * w] \
+                    = rows[..., c]
 
     def upgrade(entries, ims):
         out = []
