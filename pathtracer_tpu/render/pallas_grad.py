@@ -145,6 +145,70 @@ def _scatter_staged(tex_out, desc, u, v, g_r, g_g, g_b):
         tex_out[0, :, c * P + base: c * P + base + cw] += g
 
 
+def _scatter_staged_unified(tex_out, base, w, h, u, v, g_r, g_g, g_b):
+    """Transpose of pk._sample_staged_unified: scatter per-lane texel
+    gradients for ALL staged textures of a bounce with one matmul per
+    (row-tap, color) — 3-6× fewer MXU dispatches than the per-group
+    scatter at identical MACs (the staged path is dispatch-bound,
+    docs/PERFORMANCE.md). base/w/h are per-lane f32 descriptors
+    (inactive lanes: g zeroed by the caller, w/h >= 1); the atlas is
+    GLOBAL color-outer with plane stride P = Ltot/3."""
+    P = tex_out.shape[2] // 3
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    wsafe = jnp.maximum(w, 1.0)
+    hsafe = jnp.maximum(h, 1.0)
+    x0f = pk._wrap_tex(x0, wsafe)
+    x1f = pk._wrap_tex(x0 + 1.0, wsafe)
+    y0f = pk._wrap_tex(y0, hsafe)
+    y1f = pk._wrap_tex(y0 + 1.0, hsafe)
+    S, L = u.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L, P), 1)
+    rowoh = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+
+    def row(s, acc):
+        def take(a):
+            return jnp.sum(jnp.where(rowoh == s, a,
+                                     jnp.zeros_like(a)), axis=0)
+
+        def bc_row(a):
+            return jax.lax.broadcast_in_dim(take(a), (128, L), (1,))
+
+        def bc_lane(a):
+            return jax.lax.broadcast_in_dim(take(a), (L, P), (0,))
+
+        txl = bc_lane(tx)
+        offb = bc_lane(base).astype(jnp.int32)
+        wl = bc_lane(w).astype(jnp.int32)
+        x0l = bc_lane(x0f).astype(jnp.int32)
+        x1l = bc_lane(x1f).astype(jnp.int32)
+        out = list(acc)
+        for yif, wy in ((y0f, 1.0 - ty), (y1f, ty)):
+            yi = bc_row(yif).astype(jnp.int32)
+            k = yi // 128
+            m = (col == yi - 128 * k).astype(jnp.float32)
+            klane = bc_lane(yif // 128.0).astype(jnp.int32) * wl
+            off = offb + klane
+            n = ((lane == (off + x0l)).astype(jnp.float32)
+                 * (1.0 - txl)
+                 + (lane == (off + x1l)).astype(jnp.float32) * txl)
+            for c, g in enumerate((g_r, g_g, g_b)):
+                out[c] = out[c] + jax.lax.dot_general(
+                    m * bc_row(wy * g), n, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [128, P]
+        return tuple(out)
+
+    z = jnp.zeros((128, P), jnp.float32)
+    gr, gg, gb = jax.lax.fori_loop(0, S, row, (z, z, z))
+    for c, g in enumerate((gr, gg, gb)):
+        tex_out[0, :, c * P: (c + 1) * P] += g
+
+
 def _scatter_slots(out_ref, slot_f, g_r, g_g, g_b, nw):
     """One-hot MXU scatter of per-lane (slot, gradient) pairs into the
     [1, 128, 3*nw] slot-atlas accumulator (round 5, VERDICT r4 ask #6:
@@ -530,8 +594,15 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 # backward pass recomputes the bilinear one-hot weights
                 # from (u, v) to scatter dS/dtexel ---------------------
                 if tex_groups:
+                    unify = (pk._unified_staged()
+                             and len(staged_groups) >= 2)
                     sel_u = jnp.zeros(shape, jnp.float32)
                     sel_v = jnp.zeros(shape, jnp.float32)
+                    if unify:
+                        sbv = jnp.zeros(shape, jnp.float32)
+                        swv = jnp.ones(shape, jnp.float32)
+                        shv = jnp.ones(shape, jnp.float32)
+                        s_act = jnp.zeros(shape, jnp.bool_)
                     for (slots, desc, tw, th, sx, sy, tcode) \
                             in tex_groups:
                         msk = functools.reduce(
@@ -544,13 +615,31 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                             tu, tv = pk._spherical_uv(lx, ly, lz)
                         else:  # BOX (cube-cross)
                             tu, tv = pk._cube_uv(lx, ly, lz)
+                        sel_u = jnp.where(msk, tu, sel_u)
+                        sel_v = jnp.where(msk, tv, sel_v)
+                        if unify and (slots, desc, tw, th, sx, sy,
+                                      tcode) in staged_groups:
+                            # round 5: merged one-matmul fetch for all
+                            # staged groups (same as the primal
+                            # megakernel — the replay contract)
+                            _, d_base, d_w, d_h = desc
+                            sbv = jnp.where(msk, float(d_base), sbv)
+                            swv = jnp.where(msk, float(d_w), swv)
+                            shv = jnp.where(msk, float(d_h), shv)
+                            s_act = s_act | msk
+                            continue
                         tcr, tcg, tcb = pk._sample_tex(
                             tex_ref, desc, tw, th, tu, tv)
                         col_r = jnp.where(msk, tcr, col_r)
                         col_g = jnp.where(msk, tcg, col_g)
                         col_b = jnp.where(msk, tcb, col_b)
-                        sel_u = jnp.where(msk, tu, sel_u)
-                        sel_v = jnp.where(msk, tv, sel_v)
+                    if unify:
+                        tcr, tcg, tcb = pk._sample_staged_unified(
+                            tex_ref, sbv, swv, shv, sel_u, sel_v,
+                            s_act)
+                        col_r = jnp.where(s_act, tcr, col_r)
+                        col_g = jnp.where(s_act, tcg, col_g)
+                        col_b = jnp.where(s_act, tcb, col_b)
                     t_u[pl.ds(b, 1)] = sel_u[None]
                     t_v[pl.ds(b, 1)] = sel_v[None]
 
@@ -784,14 +873,36 @@ def _make_grad_kernel(meta: SceneMeta, cfg: RenderConfig, spp: int,
                 if tex_grads and staged_groups:
                     u_bb = t_u[bb]
                     v_bb = t_v[bb]
-                    for (slots, desc, *_r) in staged_groups:
-                        mt = functools.reduce(
-                            jnp.logical_or,
-                            [win == float(s) for s in slots]
-                        ).astype(jnp.float32)
-                        _scatter_staged(tex_out, desc, u_bb, v_bb,
-                                        g_cr * mt, g_cg * mt,
-                                        g_cb * mt)
+                    if pk._unified_staged() and len(staged_groups) >= 2:
+                        # one merged scatter for every staged group
+                        # (transposed one-matmul fetch; dispatch-bound
+                        # path, docs/PERFORMANCE.md)
+                        sbv = jnp.zeros(shape, jnp.float32)
+                        swv = jnp.ones(shape, jnp.float32)
+                        shv = jnp.ones(shape, jnp.float32)
+                        mt_any = jnp.zeros(shape, jnp.float32)
+                        for (slots, desc, *_r) in staged_groups:
+                            mt = functools.reduce(
+                                jnp.logical_or,
+                                [win == float(s) for s in slots])
+                            _, d_base, d_w, d_h = desc
+                            sbv = jnp.where(mt, float(d_base), sbv)
+                            swv = jnp.where(mt, float(d_w), swv)
+                            shv = jnp.where(mt, float(d_h), shv)
+                            mt_any = jnp.where(mt, 1.0, mt_any)
+                        _scatter_staged_unified(
+                            tex_out, sbv, swv, shv, u_bb, v_bb,
+                            g_cr * mt_any, g_cg * mt_any,
+                            g_cb * mt_any)
+                    else:
+                        for (slots, desc, *_r) in staged_groups:
+                            mt = functools.reduce(
+                                jnp.logical_or,
+                                [win == float(s) for s in slots]
+                            ).astype(jnp.float32)
+                            _scatter_staged(tex_out, desc, u_bb, v_bb,
+                                            g_cr * mt, g_cg * mt,
+                                            g_cb * mt)
 
                 for j in range(n_obj):
                     mobj = win == float(j)
