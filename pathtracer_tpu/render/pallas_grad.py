@@ -162,51 +162,60 @@ def _scatter_staged_unified(tex_out, base, w, h, u, v, g_r, g_g, g_b):
     ty = fy - y0
     wsafe = jnp.maximum(w, 1.0)
     hsafe = jnp.maximum(h, 1.0)
-    x0f = pk._wrap_tex(x0, wsafe)
-    x1f = pk._wrap_tex(x0 + 1.0, wsafe)
     y0f = pk._wrap_tex(y0, hsafe)
     y1f = pk._wrap_tex(y0 + 1.0, hsafe)
+
+    # per-lane plane offsets per row-tap in [S, L] space (same
+    # scoped-VMEM diet as pk._sample_staged_unified: only three [L, P]
+    # temporaries live in the row body)
+    def tap_offsets(yif):
+        koff = base + jnp.floor(yif / 128.0) * w
+        return (koff + pk._wrap_tex(x0, wsafe),
+                koff + pk._wrap_tex(x0 + 1.0, wsafe))
+
     S, L = u.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (L, P), 1)
     rowoh = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (384, L), 0) % 128
 
     def row(s, acc):
         def take(a):
             return jnp.sum(jnp.where(rowoh == s, a,
                                      jnp.zeros_like(a)), axis=0)
 
-        def bc_row(a):
-            return jax.lax.broadcast_in_dim(take(a), (128, L), (1,))
+        def bc_row3(a):          # [S, L] -> [384, L]
+            return jax.lax.broadcast_in_dim(take(a), (384, L), (1,))
 
         def bc_lane(a):
             return jax.lax.broadcast_in_dim(take(a), (L, P), (0,))
 
         txl = bc_lane(tx)
-        offb = bc_lane(base).astype(jnp.int32)
-        wl = bc_lane(w).astype(jnp.int32)
-        x0l = bc_lane(x0f).astype(jnp.int32)
-        x1l = bc_lane(x1f).astype(jnp.int32)
-        out = list(acc)
+        out = acc
+        # per-color gradients stacked along sublanes [384, L]: rows
+        # [c*128, (c+1)*128) carry m .* (wy * g_c) — ONE
+        # [384, L] x [L, P] matmul per row-tap scatters all 3 planes
+        crow = jax.lax.broadcasted_iota(jnp.int32, (384, L), 0) // 128
+        g3 = jnp.where(crow == 0, bc_row3(g_r),
+             jnp.where(crow == 1, bc_row3(g_g), bc_row3(g_b)))
         for yif, wy in ((y0f, 1.0 - ty), (y1f, ty)):
-            yi = bc_row(yif).astype(jnp.int32)
-            k = yi // 128
-            m = (col == yi - 128 * k).astype(jnp.float32)
-            klane = bc_lane(yif // 128.0).astype(jnp.int32) * wl
-            off = offb + klane
-            n = ((lane == (off + x0l)).astype(jnp.float32)
-                 * (1.0 - txl)
-                 + (lane == (off + x1l)).astype(jnp.float32) * txl)
-            for c, g in enumerate((g_r, g_g, g_b)):
-                out[c] = out[c] + jax.lax.dot_general(
-                    m * bc_row(wy * g), n, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # [128, P]
-        return tuple(out)
+            yi3 = bc_row3(yif).astype(jnp.int32)
+            m3 = ((col3 == yi3 - 128 * (yi3 // 128))
+                  .astype(jnp.float32) * bc_row3(wy) * g3)  # [384, L]
+            off0, off1 = tap_offsets(yif)
+            n = ((lane == bc_lane(off0).astype(jnp.int32))
+                 .astype(jnp.float32) * (1.0 - txl)
+                 + (lane == bc_lane(off1).astype(jnp.int32))
+                 .astype(jnp.float32) * txl)                # [L, P]
+            out = out + jax.lax.dot_general(
+                m3, n, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [384, P]
+        return out
 
-    z = jnp.zeros((128, P), jnp.float32)
-    gr, gg, gb = jax.lax.fori_loop(0, S, row, (z, z, z))
-    for c, g in enumerate((gr, gg, gb)):
-        tex_out[0, :, c * P: (c + 1) * P] += g
+    z = jnp.zeros((384, P), jnp.float32)
+    g3out = jax.lax.fori_loop(0, S, row, z)
+    for c in range(3):
+        tex_out[0, :, c * P: (c + 1) * P] += g3out[c * 128:(c + 1) * 128]
 
 
 def _scatter_slots(out_ref, slot_f, g_r, g_g, g_b, nw):

@@ -1155,15 +1155,28 @@ def _sample_staged_unified(tex_ref, base, w, h, u, v, active):
     ty = fy - y0
     wsafe = jnp.maximum(w, 1.0)
     hsafe = jnp.maximum(h, 1.0)
-    x0f = _wrap_tex(x0, wsafe)
-    x1f = _wrap_tex(x0 + 1.0, wsafe)
     y0f = _wrap_tex(y0, hsafe)
     y1f = _wrap_tex(y0 + 1.0, hsafe)
+    # per-lane PLANE offsets of the two x taps, computed in [S, L]
+    # space per row-tap (window offset k*w folds in) so the row body
+    # broadcasts only THREE [L, P] arrays — the naive form's ~8 [L, P]
+    # temporaries blew Mosaic's 16 MB scoped-VMEM stack
+    def tap_offsets(yif):
+        koff = base + jnp.floor(yif / 128.0) * w
+        return (koff + _wrap_tex(x0, wsafe),
+                koff + _wrap_tex(x0 + 1.0, wsafe))
+
     S, L = u.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (L, P), 1)
     rowoh = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
     act_f = active.astype(jnp.float32)
+    # color planes stacked along SUBLANES once per call: ONE
+    # [384, P] x [P, L] matmul per row-tap then serves all three colors
+    # (t[c*128+h, l] = sum_x win_c[h, x] n[l, x] — the color reduce is
+    # folded into the matmul; the row-select against m is elementwise)
+    w3 = jnp.concatenate(
+        [tex_ref[:, c * P:(c + 1) * P] for c in range(3)], axis=0)
 
     def row(s, acc):
         def take(a):             # [S, L] -> [L] (row s, masked reduce)
@@ -1177,27 +1190,22 @@ def _sample_staged_unified(tex_ref, base, w, h, u, v, active):
             return jax.lax.broadcast_in_dim(take(a), (L, P), (0,))
 
         txl = bc_lane(tx)
-        offb = bc_lane(base).astype(jnp.int32)
-        wl = bc_lane(w).astype(jnp.int32)
-        x0l = bc_lane(x0f).astype(jnp.int32)
-        x1l = bc_lane(x1f).astype(jnp.int32)
-        taps = []
+        res = [jnp.zeros((L,), jnp.float32) for _ in range(3)]
         for yif, wy in ((y0f, 1.0 - ty), (y1f, ty)):
             yi = bc_row(yif).astype(jnp.int32)
-            k = yi // 128                            # window index
-            m = ((col == yi - 128 * k).astype(jnp.float32)
-                 * bc_row(wy * act_f))
-            sel = jax.lax.dot_general(
-                m, tex_ref[...], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [L, 3P]
-            klane = bc_lane((yif // 128.0)).astype(jnp.int32) * wl
-            off = offb + klane
-            n = ((lane == (off + x0l)).astype(jnp.float32)
-                 * (1.0 - txl)
-                 + (lane == (off + x1l)).astype(jnp.float32) * txl)
-            taps.append([jnp.sum(sel[:, c * P:(c + 1) * P] * n, axis=1)
-                         for c in range(3)])
-        res = [taps[0][c] + taps[1][c] for c in range(3)]
+            m = ((col == yi - 128 * (yi // 128)).astype(jnp.float32)
+                 * bc_row(wy * act_f))               # [128, L]
+            off0, off1 = tap_offsets(yif)
+            n = ((lane == bc_lane(off0).astype(jnp.int32))
+                 .astype(jnp.float32) * (1.0 - txl)
+                 + (lane == bc_lane(off1).astype(jnp.int32))
+                 .astype(jnp.float32) * txl)          # [L, P]
+            t = jax.lax.dot_general(
+                w3, n, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [384, L]
+            for c in range(3):
+                res[c] = res[c] + jnp.sum(
+                    m * t[c * 128:(c + 1) * 128], axis=0)
         oh = (rowoh == s).astype(jnp.float32)
         return tuple(
             a + oh * jax.lax.broadcast_in_dim(r, (S, L), (1,))
